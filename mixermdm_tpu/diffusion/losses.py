@@ -1,0 +1,257 @@
+"""Geometric + interaction training losses for base diffusion models.
+
+Parity source ``/root/reference/src/models/utils/losses.py``:
+``InterLoss``:6 (DM distance-map 3.0 / JA joint-affinity 3.0 / RO
+relative-rotation 0.01) and ``GeometricLoss``:133 (VEL 30 / BL bone-length 10
+/ FC foot-contact 30), both gated by ``timestep_mask = (t <= t_bar)``
+(gaussian_diffusion.py:1389).
+
+Functional re-design: each loss is a pure function of (prediction, target,
+mask, timestep_mask) returning a dict of scalars; no stateful loss-manager
+objects.  All inner math is batched jnp suitable for jit/pjit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.constants import FACE_JOINT_INDX, GEOMETRIC_LOSS_FIDS, HML_KINEMATIC_CHAIN
+from ..utils.normalizer import Normalizer
+from ..utils.quaternions import qbetween
+
+INTER_WEIGHTS = {"RO": 0.01, "JA": 3.0, "DM": 3.0}
+GEO_WEIGHTS = {"VEL": 30.0, "BL": 10.0, "FC": 30.0}
+
+
+def _l2(pred, tgt):
+    return (pred - tgt) ** 2
+
+
+def seq_masked_mse(pred, tgt, mask):
+    """Feature-mean, then mask-weighted mean (losses.py:26-29)."""
+    loss = _l2(pred, tgt).mean(axis=-1, keepdims=True)
+    return (loss * mask).sum() / (mask.sum() + 1e-7)
+
+
+def mix_masked_mse(pred, tgt, mask, batch_mask, contact_mask=None, dm_mask=None):
+    """The reference's odd-but-faithful reduction (losses.py:31-41 / 167-177).
+
+    Reduces features (optionally dm-masked), then contacts, then
+    time(+person), then batch with the timestep gate.
+    """
+    if dm_mask is not None:
+        loss = (_l2(pred, tgt) * dm_mask).sum(axis=-1, keepdims=True) / (
+            dm_mask.sum(axis=-1, keepdims=True) + 1e-7
+        )
+    else:
+        loss = _l2(pred, tgt).mean(axis=-1, keepdims=True)
+    if contact_mask is not None:
+        loss = (loss[..., 0] * contact_mask).sum(axis=-1, keepdims=True) / (
+            contact_mask.sum(axis=-1, keepdims=True) + 1e-7
+        )
+    # Sum over everything but batch.
+    axes = tuple(range(1, loss.ndim))
+    m_axes = tuple(range(1, mask.ndim))
+    loss = (loss * mask).sum(axis=axes) / (mask.sum(axis=m_axes) + 1e-7)
+    return (loss * batch_mask).sum() / (batch_mask.sum() + 1e-7)
+
+
+def inter_loss(
+    prediction, target, mask, timestep_mask, normalizer: Normalizer, nb_joints: int = 22
+):
+    """Two-person interaction losses (losses.py:6-129).
+
+    prediction/target: (B, T, 2, F) in normalised space; mask: (B, T, 2, 1).
+    """
+    losses = {}
+    losses["simple"] = seq_masked_mse(prediction, target, mask)
+
+    pred = normalizer.backward(prediction)
+    tgt = normalizer.backward(target)
+    B, T = pred.shape[:2]
+    pred_j = pred[..., : nb_joints * 3].reshape(B, T, 2, nb_joints, 3)
+    tgt_j = tgt[..., : nb_joints * 3].reshape(B, T, 2, nb_joints, 3)
+
+    # --- DM: masked distance-map match (losses.py:84-102) ---
+    def distance_matrix(j):
+        a = j[..., 0, :, :]  # (B, T, J, 3)
+        b = j[..., 1, :, :]
+        d = jnp.sqrt(((a[..., :, None, :] - b[..., None, :, :]) ** 2).sum(-1) + 1e-12)
+        return d.reshape(B, T, 1, nb_joints * nb_joints)
+
+    pred_dm = distance_matrix(pred_j)
+    tgt_dm = distance_matrix(tgt_j)
+    dm_mask = (pred_dm < 1.0).astype(pred.dtype)
+    losses["DM"] = (
+        mix_masked_mse(pred_dm, tgt_dm, mask[..., 0:1, :], timestep_mask, dm_mask=dm_mask)
+        * INTER_WEIGHTS["DM"]
+    )
+
+    # --- JA: joint affinity — pull close-in-GT pairs together (:104-122) ---
+    ja_mask = (tgt_dm < 0.1).astype(pred.dtype)
+    losses["JA"] = (
+        mix_masked_mse(
+            pred_dm, jnp.zeros_like(tgt_dm), mask[..., 0:1, :], timestep_mask, dm_mask=ja_mask
+        )
+        * INTER_WEIGHTS["JA"]
+    )
+
+    # --- RO: relative facing rotation between the two persons (:61-81) ---
+    r_hip, l_hip = FACE_JOINT_INDX[:2]
+
+    def forward_dir(j):
+        across = j[..., r_hip, :] - j[..., l_hip, :]
+        across = across / jnp.linalg.norm(across, axis=-1, keepdims=True)
+        y_axis = jnp.zeros_like(across).at[..., 1].set(1.0)
+        fwd = jnp.cross(y_axis, across)
+        return fwd / jnp.linalg.norm(fwd, axis=-1, keepdims=True)
+
+    pred_fwd = forward_dir(pred_j)  # (B, T, 2, 3)
+    tgt_fwd = forward_dir(tgt_j)
+    pred_rel = qbetween(pred_fwd[..., 0, :], pred_fwd[..., 1, :])
+    tgt_rel = qbetween(tgt_fwd[..., 0, :], tgt_fwd[..., 1, :])
+    losses["RO"] = (
+        mix_masked_mse(
+            pred_rel[..., jnp.asarray([0, 2])],
+            tgt_rel[..., jnp.asarray([0, 2])],
+            mask[..., 0, :],
+            timestep_mask,
+        )
+        * INTER_WEIGHTS["RO"]
+    )
+
+    losses["total"] = losses["simple"] + losses["DM"] + losses["JA"] + losses["RO"]
+    return losses
+
+
+def geometric_loss(
+    prediction,
+    target,
+    mask,
+    timestep_mask,
+    normalizer: Normalizer,
+    name: str,
+    mode: str = "interaction",
+    nb_joints: int = 22,
+):
+    """Per-person geometric losses (losses.py:133-314).
+
+    prediction/target: (B, T, F) normalised; mask: (B, T, 1).
+    ``mode="individual"`` computes only the simple MSE (losses.py:196-199).
+    """
+    losses = {}
+    if mode == "individual":
+        losses["simple"] = seq_masked_mse(prediction, target, mask)
+
+    pred = normalizer.backward(prediction)
+    tgt = normalizer.backward(target)
+    B, T = pred.shape[:2]
+    pred_j = pred[..., : nb_joints * 3].reshape(B, T, nb_joints, 3)
+    tgt_j = tgt[..., : nb_joints * 3].reshape(B, T, nb_joints, 3)
+
+    if mode != "individual":
+        # VEL (:246-255)
+        pred_vel = (pred_j[:, 1:] - pred_j[:, :-1]).reshape(B, T - 1, -1)
+        tgt_vel = (tgt_j[:, 1:] - tgt_j[:, :-1]).reshape(B, T - 1, -1)
+        losses["VEL"] = (
+            mix_masked_mse(pred_vel, tgt_vel, mask[:, :-1], timestep_mask)
+            * GEO_WEIGHTS["VEL"]
+        )
+
+        # BL bone lengths over the kinematic chain (:269-287)
+        pred_bones, tgt_bones = [], []
+        for chain in HML_KINEMATIC_CHAIN:
+            for i in range(len(chain) - 1):
+                a, b = chain[i], chain[i + 1]
+                pred_bones.append(
+                    jnp.linalg.norm(pred_j[..., a, :] - pred_j[..., b, :], axis=-1, keepdims=True)
+                )
+                tgt_bones.append(
+                    jnp.linalg.norm(tgt_j[..., a, :] - tgt_j[..., b, :], axis=-1, keepdims=True)
+                )
+        losses["BL"] = (
+            mix_masked_mse(
+                jnp.concatenate(pred_bones, -1), jnp.concatenate(tgt_bones, -1),
+                mask, timestep_mask,
+            )
+            * GEO_WEIGHTS["BL"]
+        )
+
+        # FC: predicted-contact feet should not slide (:258-267, 305-314)
+        fids = jnp.asarray(GEOMETRIC_LOSS_FIDS)
+        feet_vel = pred_j[:, 1:, fids, :] - pred_j[:, :-1, fids, :]
+        feet_h = pred_j[:, :-1, fids, 1]
+        velfactor = jnp.asarray([0.001] * 4)
+        heightfactor = jnp.asarray([0.12, 0.05, 0.12, 0.05])
+        contact = (
+            ((feet_vel**2).sum(-1) < velfactor) & (feet_h < heightfactor)
+        ).astype(pred.dtype)
+        losses["FC"] = (
+            mix_masked_mse(
+                feet_vel, jnp.zeros_like(feet_vel), mask[:, :-1], timestep_mask,
+                contact_mask=contact,
+            )
+            * GEO_WEIGHTS["FC"]
+        )
+
+    total = jnp.asarray(0.0)
+    for v in losses.values():
+        total = total + v
+    losses[name] = total
+    return losses
+
+
+def motion_training_losses(
+    model_fn,
+    s,
+    x_start,
+    t,
+    mask,
+    rng,
+    *,
+    mode: str,                 # "interaction" | "individual"
+    t_bar: int,
+    normalizer: Normalizer,
+):
+    """MotionDiffusion.training_losses (gaussian_diffusion.py:1367-1415).
+
+    Normalises GT, runs the base MSE pipeline, then adds geometric losses
+    gated by ``t <= t_bar``.  ``x_start``: (B, T, F) or (B, T, 2F); ``mask``:
+    (B, T, 2).
+    """
+    from .gaussian import mse_training_losses
+
+    B, T = x_start.shape[:2]
+    P = 2 if mode == "interaction" else 1
+    target = normalizer.forward(x_start.reshape(B, T, P, -1)).reshape(B, T, -1)
+    mask4 = mask.reshape(B, T, -1, 1)
+
+    items = mse_training_losses(model_fn, s, target, t, rng)
+    pred = items["pred"].reshape(B, T, P, -1)
+    tgt = items["target"].reshape(B, T, P, -1)
+    timestep_mask = (t <= t_bar).astype(x_start.dtype)
+
+    losses = {}
+    if mode == "interaction":
+        il = inter_loss(pred, tgt, mask4, timestep_mask, normalizer)
+        la = geometric_loss(
+            pred[..., 0, :], tgt[..., 0, :], mask4[..., 0, :], timestep_mask,
+            normalizer, "A",
+        )
+        lb = geometric_loss(
+            pred[..., 1, :], tgt[..., 1, :], mask4[..., 0, :], timestep_mask,
+            normalizer, "B",
+        )
+        losses.update({f"inter_{k}": v for k, v in il.items()})
+        losses.update({f"geo_a_{k}": v for k, v in la.items()})
+        losses.update({f"geo_b_{k}": v for k, v in lb.items()})
+        losses["total"] = la["A"] + lb["B"] + il["total"]
+    else:
+        la = geometric_loss(
+            pred[..., 0, :], tgt[..., 0, :], mask4[..., 0, :], timestep_mask,
+            normalizer, "A", mode="individual",
+        )
+        losses.update({f"geo_a_{k}": v for k, v in la.items()})
+        losses["total"] = la["A"]
+    return losses

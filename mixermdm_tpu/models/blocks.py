@@ -1,0 +1,97 @@
+"""Transformer blocks used by denoisers / discriminators / influence net.
+
+Parity source ``/root/reference/src/models/utils/blocks.py``:
+``TransformerBlock``:3, ``TransformerBlockDoubleCond``:30,
+``TransformerBlockSimple``:66; and ``influence.py``:
+``InfluenceBlockCross``:6.
+
+All blocks are residual: SA -> (CA) -> FFN with AdaLN conditioning.  The
+"double cond" variant conditions self-attention/FFN on the *individual*
+embedding and cross-attention on the *interaction* embedding; individual
+modes skip cross-attention entirely (blocks.py:54-58) — here that choice is a
+static Python flag, so each mode jit-compiles its own specialised program.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+
+from .layers import FFN, VanillaCrossAttention, VanillaSelfAttention
+
+
+class TransformerBlock(nn.Module):
+    """SA -> CA(partner stream) -> FFN (InterGen style, blocks.py:3-28)."""
+
+    latent_dim: int = 512
+    num_heads: int = 8
+    ff_size: int = 1024
+
+    @nn.compact
+    def __call__(self, x, y, emb=None, key_padding_mask=None):
+        h1 = VanillaSelfAttention(self.latent_dim, self.num_heads, name="sa_block")(
+            x, emb, key_padding_mask
+        ) + x
+        h2 = VanillaCrossAttention(
+            self.latent_dim, self.latent_dim, self.num_heads, name="ca_block"
+        )(h1, y, emb, key_padding_mask) + h1
+        return FFN(self.latent_dim, self.ff_size, name="ffn")(h2, emb) + h2
+
+
+class TransformerBlockDoubleCond(nn.Module):
+    """in2IN block with separate individual/interaction conds (blocks.py:30-63)."""
+
+    mode: str  # "individual" | "interaction" | "dual_individual" | "dual_interaction"
+    latent_dim: int = 512
+    num_heads: int = 8
+    ff_size: int = 1024
+
+    @nn.compact
+    def __call__(self, x, y, emb=None, emb_interaction=None, key_padding_mask=None):
+        h1 = VanillaSelfAttention(self.latent_dim, self.num_heads, name="sa_block")(
+            x, emb, key_padding_mask
+        ) + x
+        if self.mode in ("individual", "dual_individual"):
+            h2 = h1
+        else:
+            h2 = VanillaCrossAttention(
+                self.latent_dim, self.latent_dim, self.num_heads, name="ca_block"
+            )(h1, y, emb_interaction, key_padding_mask) + h1
+        return FFN(self.latent_dim, self.ff_size, name="ffn")(h2, emb) + h2
+
+    @staticmethod
+    def has_cross_attention(mode: str) -> bool:
+        return mode not in ("individual", "dual_individual")
+
+
+class TransformerBlockSimple(nn.Module):
+    """SA -> FFN, used by discriminators (blocks.py:66-89)."""
+
+    latent_dim: int = 512
+    num_heads: int = 8
+    ff_size: int = 1024
+
+    @nn.compact
+    def __call__(self, x, emb=None, key_padding_mask=None):
+        h1 = VanillaSelfAttention(self.latent_dim, self.num_heads, name="sa_block")(
+            x, emb, key_padding_mask
+        ) + x
+        return FFN(self.latent_dim, self.ff_size, name="ffn")(h1, emb) + h1
+
+
+class InfluenceBlockCross(nn.Module):
+    """SA(individual, cond_i) -> CA(-> interaction, cond_I) -> FFN(cond_I)
+    (influence.py:6-48)."""
+
+    latent_dim: int = 512
+    num_heads: int = 8
+    ff_size: int = 1024
+
+    @nn.compact
+    def __call__(self, m_i, m_I, emb_i=None, emb_I=None, key_padding_mask=None):
+        h1 = VanillaSelfAttention(self.latent_dim, self.num_heads, name="sa_block")(
+            m_i, emb_i, key_padding_mask
+        ) + m_i
+        h2 = VanillaCrossAttention(
+            self.latent_dim, self.latent_dim, self.num_heads, name="ca_block"
+        )(h1, m_I, emb_I, key_padding_mask) + h1
+        return FFN(self.latent_dim, self.ff_size, name="ffn")(h2, emb_I) + h2

@@ -1,0 +1,125 @@
+"""in2IN denoiser: dual-stream transformer with individual+interaction conds.
+
+Parity source ``/root/reference/src/models/in2in.py``: ``in2INDenoiser``:358
+(modes ``individual`` / ``interaction`` / ``dual_individual`` /
+``dual_interaction``), cond slicing :414-424, weight-shared person streams
+:437-452.
+
+TPU-first re-design: the reference calls each block twice per layer (person a,
+person b) with shared weights.  Here the two person streams are *stacked into
+the batch axis* so every attention/matmul runs at 2B batch on the MXU — one
+kernel launch per layer instead of two, and the partner stream for
+cross-attention is obtained by flipping the stacked halves (a zero-copy
+gather).  Conditioning embeddings are stacked the same way.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .blocks import TransformerBlockDoubleCond
+from .embeddings import PositionalEncoding, TimestepEmbedder
+from .layers import FinalLayer, TorchLinear
+
+
+class In2INDenoiser(nn.Module):
+    """Text-conditioned motion denoiser (in2in.py:358-463).
+
+    ``mode`` is static:
+      * ``individual``:       x is (B, T, F), cond is (B, 768).
+      * ``interaction``:      x is (B, T, 2F), cond is (B, 3*768)
+                              ordered [I, i1, i2].
+      * ``dual_individual``:  x is (B, T, 2F), cond is (B, 5*768) and the
+                              denoiser reads slices [3], [4] (in2in.py:419).
+      * ``dual_interaction``: x is (B, T, 2F), cond slices [0],[1],[2].
+    """
+
+    input_feats: int
+    mode: str
+    latent_dim: int = 512
+    ff_size: int = 1024
+    num_layers: int = 8
+    num_heads: int = 8
+    text_dim: int = 768
+
+    @nn.compact
+    def __call__(self, x, timesteps, mask=None, cond=None):
+        B, T = x.shape[0], x.shape[1]
+        single = self.mode == "individual"
+        td = self.text_dim
+
+        t_emb = TimestepEmbedder(self.latent_dim, name="embed_timestep")(timesteps)
+        text_embed = TorchLinear(self.latent_dim, name="text_embed")
+        motion_embed = TorchLinear(self.latent_dim, name="motion_embed")
+        pos_enc = PositionalEncoding(self.latent_dim, name="sequence_pos_encoder")
+
+        if self.mode in ("interaction", "dual_interaction"):
+            emb_inter = t_emb + text_embed(cond[:, :td])
+            emb_i1 = t_emb + text_embed(cond[:, td : 2 * td])
+            emb_i2 = t_emb + text_embed(cond[:, 2 * td : 3 * td])
+        elif self.mode == "dual_individual":
+            emb_inter = None
+            emb_i1 = t_emb + text_embed(cond[:, 3 * td : 4 * td])
+            emb_i2 = t_emb + text_embed(cond[:, 4 * td : 5 * td])
+        elif single:
+            emb_inter = None
+            emb_i1 = t_emb + text_embed(cond[:, :td])
+            emb_i2 = None
+        else:
+            raise ValueError(f"unknown mode {self.mode}")
+
+        if mask is None:
+            key_padding_mask = jnp.zeros((B, T), dtype=bool)
+        else:
+            m = mask[..., 0] if mask.ndim == 3 else mask
+            key_padding_mask = ~(m > 0.5)
+
+        blocks = [
+            TransformerBlockDoubleCond(
+                mode=self.mode,
+                latent_dim=self.latent_dim,
+                num_heads=self.num_heads,
+                ff_size=self.ff_size,
+                name=f"blocks_{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+        final = FinalLayer(self.input_feats, name="out")
+
+        if single:
+            h = pos_enc(motion_embed(x[..., : self.input_feats]))
+            for block in blocks:
+                h = block(h, None, emb_i1, None, key_padding_mask)
+            return final(h)
+
+        x_a = x[..., : self.input_feats]
+        x_b = x[..., self.input_feats :]
+
+        if self.mode == "dual_individual":
+            # Reference quirk (in2in.py:441-452): in dual_individual mode
+            # ``h_b_prev`` is never updated, so person b's output is only the
+            # LAST block applied to the raw embedding while person a runs the
+            # full stack.  Reproduced faithfully for DualMDM checkpoint parity.
+            h_a = pos_enc(motion_embed(x_a))
+            h_b0 = pos_enc(motion_embed(x_b))
+            for block in blocks:
+                h_a = block(h_a, None, emb_i1, None, key_padding_mask)
+            h_b = blocks[-1](h_b0, None, emb_i2, None, key_padding_mask)
+            return jnp.concatenate([final(h_a), final(h_b)], axis=-1)
+
+        # interaction / dual_interaction: stack person streams into the batch
+        # axis — (2B, T, D) — so every matmul runs at double batch on the MXU
+        # (reference runs each block twice with shared weights, in2in.py:439-440).
+        h = pos_enc(motion_embed(jnp.concatenate([x_a, x_b], axis=0)))
+        emb = jnp.concatenate([emb_i1, emb_i2], axis=0)
+        emb_inter2 = jnp.concatenate([emb_inter, emb_inter], axis=0)
+        kpm = jnp.concatenate([key_padding_mask, key_padding_mask], axis=0)
+        for block in blocks:
+            # Partner stream = the other stacked half from the previous layer.
+            partner = jnp.concatenate([h[B:], h[:B]], axis=0)
+            h = block(h, partner, emb, emb_inter2, kpm)
+        out = final(h)
+        return jnp.concatenate([out[:B], out[B:]], axis=-1)

@@ -1,0 +1,230 @@
+"""NN primitives: AdaLN, torch-compatible multi-head attention, FFN.
+
+flax.linen re-design of the reference's primitives
+(``/root/reference/src/models/utils/layers.py``: ``AdaLN``:3,
+``VanillaSelfAttention``:28, ``VanillaSelfAttentionSimple``:48,
+``VanillaCrossAttention``:68, ``FFN``:91, ``FinalLayer``:109).
+
+Numerical-parity notes:
+
+* The reference uses ``nn.MultiheadAttention(..., add_zero_attn=True)``:
+  after input projection a zero key/value token is appended and is always
+  attendable, so a fully-masked query row still softmaxes over one zero
+  logit instead of NaN-ing.  :class:`TorchMultiheadAttention` reproduces
+  that exactly (zero K/V column + an always-False entry appended to the
+  key-padding mask).
+* AdaLN = LayerNorm(affine-free, eps 1e-6) scaled/shifted by a zero-init
+  SiLU MLP of the conditioning embedding, so at init every AdaLN block is an
+  identity-normalised passthrough.
+* Projection layers marked ``zero_module`` in the reference are zero-init
+  here so fresh models match the reference's residual-starts-at-zero
+  behaviour.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+from jax.nn import silu
+
+
+def lecun_or_torch_linear_init():
+    """torch ``nn.Linear`` default init: U(-1/sqrt(fan_in), +1/sqrt(fan_in))."""
+    def init(key, shape, dtype=jnp.float32):
+        import jax
+        fan_in = shape[0]
+        bound = 1.0 / jnp.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class TorchLinear(nn.Module):
+    """Dense layer with torch's default init (keeps init-scale parity)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+        in_features = x.shape[-1]
+        bound = 1.0 / (in_features ** 0.5)
+        kernel = self.param(
+            "kernel",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (in_features, self.features),
+        )
+        y = x @ kernel.astype(x.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+                (self.features,),
+            )
+            y = y + bias.astype(x.dtype)
+        return y
+
+
+class ZeroLinear(nn.Module):
+    """Zero-initialised dense (reference ``zero_module``, utils.py:91-97)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.zeros, (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return x @ kernel.astype(x.dtype) + bias.astype(x.dtype)
+
+
+def layer_norm(x, eps: float = 1e-5):
+    """Affine-free LayerNorm over the last axis."""
+    mean = x.mean(axis=-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+    return (x - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+
+
+class AdaLN(nn.Module):
+    """Adaptive LayerNorm conditioned on a (B, D) embedding (layers.py:3-25)."""
+
+    latent_dim: int
+
+    @nn.compact
+    def __call__(self, h, emb):
+        # emb: (B, E) -> scale/shift (B, 2*latent); zero-init => identity at init.
+        emb_out = ZeroLinear(2 * self.latent_dim, name="emb_proj")(silu(emb))
+        scale, shift = jnp.split(emb_out, 2, axis=-1)
+        return layer_norm(h, eps=1e-6) * (1.0 + scale[:, None]) + shift[:, None]
+
+
+class TorchMultiheadAttention(nn.Module):
+    """torch ``nn.MultiheadAttention`` semantics with ``add_zero_attn=True``.
+
+    Weight layout mirrors torch so checkpoint converters can map
+    ``in_proj_weight``/``out_proj`` directly: separate q/k/v projections with
+    bias, scaled dot-product over heads, output projection.
+    ``key_padding_mask`` follows torch polarity — True = *ignore* this key.
+    """
+
+    embed_dim: int
+    num_heads: int
+    kdim: Optional[int] = None
+    vdim: Optional[int] = None
+    add_zero_attn: bool = True
+
+    @nn.compact
+    def __call__(self, query, key, value, key_padding_mask=None, attn_mask=None):
+        B, Tq, _ = query.shape
+        Tk = key.shape[1]
+        E, H = self.embed_dim, self.num_heads
+        head_dim = E // H
+
+        q = TorchLinear(E, name="q_proj")(query)
+        k = TorchLinear(E, name="k_proj")(key)
+        v = TorchLinear(E, name="v_proj")(value)
+
+        if self.add_zero_attn:
+            # Append an always-attendable zero key/value token.
+            zeros = jnp.zeros((B, 1, E), dtype=q.dtype)
+            k = jnp.concatenate([k, zeros], axis=1)
+            v = jnp.concatenate([v, zeros], axis=1)
+            Tk = Tk + 1
+            if key_padding_mask is not None:
+                pad = jnp.zeros((B, 1), dtype=bool)
+                key_padding_mask = jnp.concatenate([key_padding_mask, pad], axis=1)
+            if attn_mask is not None:
+                attn_mask = jnp.pad(attn_mask, ((0, 0), (0, 1)))
+
+        q = q.reshape(B, Tq, H, head_dim)
+        k = k.reshape(B, Tk, H, head_dim)
+        v = v.reshape(B, Tk, H, head_dim)
+
+        scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=q.dtype))
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+
+        if key_padding_mask is not None:
+            # torch polarity: True = masked.
+            logits = jnp.where(
+                key_padding_mask[:, None, None, :], jnp.asarray(-jnp.inf, logits.dtype), logits
+            )
+        if attn_mask is not None:
+            # Additive float mask of shape (Tq, Tk), e.g. a causal mask.
+            logits = logits + attn_mask[None, None, :, :].astype(logits.dtype)
+
+        attn = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+        attn = attn / attn.sum(axis=-1, keepdims=True)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, Tq, E)
+        return TorchLinear(E, name="out_proj")(out)
+
+
+class VanillaSelfAttention(nn.Module):
+    """AdaLN-conditioned self-attention (layers.py:28-45)."""
+
+    latent_dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, emb, key_padding_mask=None):
+        x_norm = AdaLN(self.latent_dim, name="norm")(x, emb)
+        return TorchMultiheadAttention(
+            self.latent_dim, self.num_heads, name="attention"
+        )(x_norm, x_norm, x_norm, key_padding_mask)
+
+
+class VanillaSelfAttentionSimple(nn.Module):
+    """Plain-LN self-attention for discriminators (layers.py:48-65)."""
+
+    latent_dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None):
+        x_norm = layer_norm(x, eps=1e-6)
+        return TorchMultiheadAttention(
+            self.latent_dim, self.num_heads, name="attention"
+        )(x_norm, x_norm, x_norm, key_padding_mask)
+
+
+class VanillaCrossAttention(nn.Module):
+    """AdaLN-conditioned cross-attention (layers.py:68-88)."""
+
+    latent_dim: int
+    xf_latent_dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, xf, emb, key_padding_mask=None):
+        x_norm = AdaLN(self.latent_dim, name="norm")(x, emb)
+        xf_norm = AdaLN(self.xf_latent_dim, name="xf_norm")(xf, emb)
+        return TorchMultiheadAttention(
+            self.latent_dim, self.num_heads,
+            kdim=self.xf_latent_dim, vdim=self.xf_latent_dim, name="attention",
+        )(x_norm, xf_norm, xf_norm, key_padding_mask)
+
+
+class FFN(nn.Module):
+    """AdaLN-conditioned GELU MLP, zero-init output (layers.py:91-106)."""
+
+    latent_dim: int
+    ffn_dim: int
+
+    @nn.compact
+    def __call__(self, x, emb=None):
+        if emb is not None:
+            x = AdaLN(self.latent_dim, name="norm")(x, emb)
+        h = TorchLinear(self.ffn_dim, name="linear1")(x)
+        h = nn.gelu(h, approximate=False)
+        return ZeroLinear(self.latent_dim, name="linear2")(h)
+
+
+class FinalLayer(nn.Module):
+    """Zero-init output projection (layers.py:109-116)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        return ZeroLinear(self.out_dim, name="linear")(x)

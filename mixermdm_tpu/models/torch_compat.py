@@ -1,0 +1,92 @@
+"""torch ``nn.TransformerEncoder`` -compatible stack (post-norm, GELU).
+
+Used wherever the reference drops in a stock torch encoder: the trainable
+CLIP post-encoders (``/root/reference/src/models/in2in.py:25-53``,
+``mixermdm.py:244-256``), the MDM denoiser backbone (``mdm.py:253-264``), and
+the InterCLIP towers (``evaluation/models.py:38-45,113-124``).
+
+torch semantics reproduced: ``norm_first=False`` (post-norm), affine
+LayerNorm eps 1e-5, attention without ``add_zero_attn``, GELU FFN.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import TorchLinear, TorchMultiheadAttention
+
+
+class LayerNormAffine(nn.Module):
+    """LayerNorm with learnable scale/bias (torch default, eps 1e-5)."""
+
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        mean = x.mean(axis=-1, keepdims=True)
+        var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+        y = (x - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps))
+        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+class TorchEncoderLayer(nn.Module):
+    """One ``nn.TransformerEncoderLayer`` (batch_first, post-norm, gelu)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, attn_mask=None):
+        attn = TorchMultiheadAttention(
+            self.d_model, self.nhead, add_zero_attn=False, name="self_attn"
+        )(x, x, x, key_padding_mask, attn_mask)
+        x = LayerNormAffine(self.d_model, name="norm1")(x + attn)
+        h = TorchLinear(self.dim_feedforward, name="linear1")(x)
+        h = nn.gelu(h, approximate=False)
+        h = TorchLinear(self.d_model, name="linear2")(h)
+        return LayerNormAffine(self.d_model, name="norm2")(x + h)
+
+
+class TorchEncoder(nn.Module):
+    """Stack of :class:`TorchEncoderLayer` (``nn.TransformerEncoder``)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, attn_mask=None):
+        for i in range(self.num_layers):
+            x = TorchEncoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward, name=f"layers_{i}"
+            )(x, key_padding_mask, attn_mask)
+        return x
+
+
+class ClipPostEncoder(nn.Module):
+    """2-layer trainable encoder + LayerNorm over CLIP token features.
+
+    (reference in2in.py:24-53 / mixermdm.py:244-256; returns per-token
+    features — EOT pooling happens in the text pipeline.)
+    """
+
+    d_model: int = 768
+    num_layers: int = 2
+    dim_feedforward: int = 2048
+    nhead: int = 8
+
+    @nn.compact
+    def __call__(self, clip_tokens):
+        h = TorchEncoder(
+            self.d_model, self.nhead, self.dim_feedforward, self.num_layers,
+            name="encoder",
+        )(clip_tokens)
+        return LayerNormAffine(self.d_model, name="ln")(h)

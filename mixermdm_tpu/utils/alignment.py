@@ -1,0 +1,155 @@
+"""Motion-representation converters and batch alignment/canonicalisation.
+
+These are the per-denoising-step geometry ops of the Mixer hot path — they run
+*inside* the jitted DDIM ``lax.scan`` — so everything is pure jnp, batched,
+with no data-dependent Python control flow.
+
+Parity source ``/root/reference/src/utils/alignment.py``: ``ih_to_smpl``:11,
+``smpl_to_ih``:41, ``align_trajectories``:69, ``align_motions``:108,
+``center_motion``:161.
+
+Layout notes (faithfully reproduced, including quirks):
+
+* "IH" format is the 262-d InterHuman vector
+  ``[66 pos | 66 vel | 126 rot6d | 4 contacts]``.
+* "SMPL" format is 205-d: ``[66 pos | 66 vel | 69 axis-angle (21 body + 2
+  zero hand joints) | 4 contacts]``.
+* ``center_motion`` / ``align_motions`` return **201-d** tensors — they drop
+  the 4 contact dims (reference alignment.py:149-156, 213-220).  A subsequent
+  ``smpl_to_ih`` then reads its "contacts" from the zero hand-joint padding,
+  so contacts come out as zeros.  This matches upstream behaviour exactly and
+  matters for checkpoint parity.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .quaternions import qbetween, qrot
+from .rotations import (
+    axis_angle_to_matrix,
+    matrix_to_axis_angle,
+    matrix_to_rotation_6d,
+    rotation_6d_to_matrix,
+)
+from .constants import FACE_JOINT_INDX
+
+
+def ih_to_smpl(motion: jnp.ndarray) -> jnp.ndarray:
+    """(..., T, 262) IH -> (..., T, 205) SMPL (alignment.py:11-39)."""
+    lead = motion.shape[:-1]
+    poses = motion[..., 132:258].reshape(lead + (21, 6))
+    poses = -matrix_to_axis_angle(rotation_6d_to_matrix(poses))
+    poses = poses.reshape(lead + (63,))
+    zero_pad = jnp.zeros(lead + (6,), dtype=motion.dtype)
+    return jnp.concatenate(
+        [motion[..., :132], poses, zero_pad, motion[..., -4:]], axis=-1
+    )
+
+
+def smpl_to_ih(motion: jnp.ndarray) -> jnp.ndarray:
+    """(..., T, >=201) SMPL -> (..., T, 262) IH (alignment.py:41-67).
+
+    Reads 23 axis-angle joints at [132:201] and the trailing 4 dims as
+    contacts — if the input is the 201-d output of ``center_motion`` /
+    ``align_motions`` those trailing dims are the zero hand-joints, exactly as
+    upstream.
+    """
+    lead = motion.shape[:-1]
+    poses = motion[..., 132:201].reshape(lead + (23, 3))
+    poses = matrix_to_rotation_6d(axis_angle_to_matrix(-poses))
+    poses = poses.reshape(lead + (138,))[..., :126]  # drop 2 hand joints
+    return jnp.concatenate([motion[..., :132], poses, motion[..., -4:]], axis=-1)
+
+
+def align_trajectories(
+    t1: jnp.ndarray, t2: jnp.ndarray, mask: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Rotation quats aligning root trajectory t2 onto t1 (alignment.py:69-105).
+
+    t1, t2: (B, T, 3) root positions. Returns (B, T, 22, 4).
+    """
+    B, T = t1.shape[:2]
+    if mask is None:
+        v1 = t1[:, -1] - t1[:, 0]
+        v2 = t2[:, -1] - t2[:, 0]
+    else:
+        lengths = mask.reshape(B, T, -1)[..., 0].sum(axis=1).astype(jnp.int32)
+        idx = jnp.clip(lengths - 1, 0, T - 1)
+        v1 = jnp.take_along_axis(t1, idx[:, None, None], axis=1)[:, 0] - t1[:, 0]
+        v2 = jnp.take_along_axis(t2, idx[:, None, None], axis=1)[:, 0] - t2[:, 0]
+
+    # Heading only: zero the vertical component.
+    v1 = v1 * jnp.asarray([1.0, 0.0, 1.0], dtype=t1.dtype)
+    v2 = v2 * jnp.asarray([1.0, 0.0, 1.0], dtype=t1.dtype)
+    v1 = v1 / jnp.sqrt((v1**2).sum(axis=1, keepdims=True) + 1e-8)
+    v2 = v2 / jnp.sqrt((v2**2).sum(axis=1, keepdims=True) + 1e-8)
+
+    rot_quat = qbetween(v2, v1)  # (B, 4)
+    return jnp.broadcast_to(rot_quat[:, None, None, :], (B, T, 22, 4))
+
+
+def align_motions(
+    motion1: jnp.ndarray, motion2: jnp.ndarray, mask: jnp.ndarray | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Position+heading-align motion2 onto motion1 (alignment.py:108-158).
+
+    Inputs (B, T, >=201) in SMPL layout; returns ``(motion1, motion2_aligned)``
+    where the aligned motion is 201-d (contacts dropped, as upstream).
+    """
+    B, T = motion1.shape[:2]
+    pos1 = motion1[..., :66].reshape(B, T, 22, 3)
+    pos2 = motion2[..., :66].reshape(B, T, 22, 3)
+    vel2 = motion2[..., 66:132].reshape(B, T, 22, 3)
+    rot2 = motion2[..., 132:201]
+
+    # Translate start roots together.
+    delta = pos1[:, 0, 0] - pos2[:, 0, 0]
+    pos2 = pos2 + delta[:, None, None, :]
+
+    alignment = align_trajectories(pos1[:, :, 0], pos2[:, :, 0], mask)
+    pos2 = qrot(alignment, pos2)
+    delta = pos1[:, 0, 0] - pos2[:, 0, 0]
+    pos2 = pos2 + delta[:, None, None, :]
+    vel2 = qrot(alignment, vel2)
+
+    motion2_aligned = jnp.concatenate(
+        [pos2.reshape(B, T, 66), vel2.reshape(B, T, 66), rot2], axis=-1
+    )
+    return motion1, motion2_aligned
+
+
+def center_motion(motion: jnp.ndarray) -> jnp.ndarray:
+    """Batch canonicalisation (alignment.py:161-222).
+
+    (B, T, >=201) SMPL layout -> (B, T, 201): floor-grounded, XZ-origin at the
+    first root, initially facing Z+.  Contacts dropped (upstream quirk).
+    """
+    B, T = motion.shape[:2]
+    pos = motion[..., :66].reshape(B, T, 22, 3)
+    vel = motion[..., 66:132].reshape(B, T, 22, 3)
+    rot = motion[..., 132:201]
+
+    floor = pos[..., 1].min(axis=(1, 2))
+    pos = pos.at[..., 1].add(-floor[:, None, None])
+
+    root_init = pos[:, 0]  # (B, 22, 3)
+    root_xz = root_init[:, 0] * jnp.asarray([1.0, 0.0, 1.0], dtype=motion.dtype)
+    pos = pos - root_xz[:, None, None, :]
+
+    r_hip, l_hip = FACE_JOINT_INDX[:2]
+    across = root_init[:, r_hip] - root_init[:, l_hip]
+    across = across / jnp.sqrt((across**2).sum(axis=-1, keepdims=True))
+    up = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], dtype=motion.dtype), across.shape)
+    forward = jnp.cross(up, across)
+    forward = forward / jnp.sqrt((forward**2).sum(axis=-1, keepdims=True))
+    target = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dtype=motion.dtype), forward.shape)
+
+    root_quat = qbetween(forward, target)  # (B, 4)
+    root_quat = jnp.broadcast_to(root_quat[:, None, None, :], (B, T, 22, 4))
+    pos = qrot(root_quat, pos)
+    vel = qrot(root_quat, vel)
+
+    return jnp.concatenate(
+        [pos.reshape(B, T, 66), vel.reshape(B, T, 66), rot], axis=-1
+    )
