@@ -1,0 +1,96 @@
+"""Benchmark: full-size MixerMDM two-person generation throughput on TPU.
+
+Workload = the reference CLI's generation setting (SURVEY.md §6 /
+``/root/reference/src/scripts/infer/mixermdm.py:73,184``): batch of 10
+samples, 299-frame window, DDIM-50 with CFG weight 3.5, production model
+sizes (in2IN denoisers 1024-d/8-layer, mixer 512-d/4-block, mixing mode 4).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec", "vs_baseline": N}
+
+``vs_baseline`` compares against REFERENCE_SAMPLES_PER_SEC — an *estimate* of
+the reference PyTorch pipeline on a modern GPU, since the reference repo
+publishes no throughput numbers anywhere (BASELINE.md): 50 Python-stepped
+DDIM iterations x [2x CFG x (2 individual fwd + 1 interaction fwd + 2
+influence fwd) + per-step normalize/align] ≈ 2 s/sample batch-10 → 5
+samples/s.  Replace with a measured number when reference hardware exists.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_SAMPLES_PER_SEC = 5.0  # documented estimate, see module docstring
+
+B = 10          # samples per prompt (infer CLI default)
+T = 299         # window (infer CLI default)
+DDIM_STEPS = 50
+
+
+def build_system(tiny: bool = False):
+    from mixermdm_tpu.config import MIXERMDM_DEFAULT, IN2IN_INDIVIDUAL_DEFAULT, IN2IN_INTERACTION_DEFAULT, tiny_config
+    from mixermdm_tpu.models.clip_text import ClipTextConfig
+    from mixermdm_tpu.systems import In2INSystem, MixerMDMSystem
+
+    if tiny:
+        clip_cfg = ClipTextConfig.tiny()
+        c = tiny_config(latent=32, layers=1, heads=2, diffusion_steps=8)
+        m1 = In2INSystem(c, mode="individual", clip_cfg=clip_cfg)
+        m2 = In2INSystem(c, mode="interaction", clip_cfg=clip_cfg)
+        from mixermdm_tpu.config import Config
+        mcfg = Config.wrap(dict(MIXERMDM_DEFAULT))
+        mcfg["DIFFUSION_STEPS"] = 8
+        mcfg["STRATEGY"] = "ddim4"
+        mcfg["GENERATOR"] = Config.wrap({"NUM_LAYERS": 1, "NUM_HEADS": 2, "DROPOUT": 0.0,
+                                          "INPUT_DIM": 262, "LATENT_DIM": 32, "FF_SIZE": 64})
+        mcfg["DISCRIMINATOR"] = mcfg["GENERATOR"]
+        return MixerMDMSystem(mcfg, model1=m1, model2=m2, clip_cfg=clip_cfg)
+
+    clip_cfg = ClipTextConfig.vit_l_14()
+    m1 = In2INSystem(IN2IN_INDIVIDUAL_DEFAULT, mode="individual", clip_cfg=clip_cfg)
+    m2 = In2INSystem(IN2IN_INTERACTION_DEFAULT, mode="interaction", clip_cfg=clip_cfg)
+    return MixerMDMSystem(MIXERMDM_DEFAULT, model1=m1, model2=m2, clip_cfg=clip_cfg)
+
+
+def main(tiny: bool = False, repeats: int = 3):
+    import jax
+    import jax.numpy as jnp
+
+    system = build_system(tiny)
+    params = system.init_params(jax.random.PRNGKey(0))
+
+    b = 2 if tiny else B
+    t = 16 if tiny else T
+    cond = jax.random.normal(jax.random.PRNGKey(1), (b, 8 * system.text_dim))
+
+    # Warm-up / compile.
+    rng = jax.random.PRNGKey(2)
+    out = system.sample(params, cond, t, rng)
+    jax.block_until_ready(out)
+
+    times = []
+    for i in range(repeats):
+        rng = jax.random.PRNGKey(3 + i)
+        start = time.perf_counter()
+        out = system.sample(params, cond, t, rng)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - start)
+
+    best = min(times)
+    samples_per_sec = b / best
+    n_steps = system.sample_schedule.num_timesteps
+    result = {
+        "metric": f"mixermdm two-person ddim{n_steps} generation (B={b}, T={t})",
+        "value": round(samples_per_sec, 4),
+        "unit": "samples/sec",
+        "vs_baseline": round(samples_per_sec / REFERENCE_SAMPLES_PER_SEC, 4),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(tiny="--tiny" in sys.argv)

@@ -28,6 +28,10 @@ def _l2(pred, tgt):
     return (pred - tgt) ** 2
 
 
+def _safe_norm(x, axis=-1, eps=1e-8):
+    return jnp.sqrt((x**2).sum(axis=axis, keepdims=True) + eps)
+
+
 def seq_masked_mse(pred, tgt, mask):
     """Feature-mean, then mask-weighted mean (losses.py:26-29)."""
     loss = _l2(pred, tgt).mean(axis=-1, keepdims=True)
@@ -101,11 +105,14 @@ def inter_loss(
     r_hip, l_hip = FACE_JOINT_INDX[:2]
 
     def forward_dir(j):
+        # Safe-normalised (the reference divides by raw norms, losses.py:64-74,
+        # which NaNs on the degenerate zero prediction of a fresh zero-init
+        # model; identical in the non-degenerate regime).
         across = j[..., r_hip, :] - j[..., l_hip, :]
-        across = across / jnp.linalg.norm(across, axis=-1, keepdims=True)
+        across = across / _safe_norm(across)
         y_axis = jnp.zeros_like(across).at[..., 1].set(1.0)
         fwd = jnp.cross(y_axis, across)
-        return fwd / jnp.linalg.norm(fwd, axis=-1, keepdims=True)
+        return fwd / _safe_norm(fwd)
 
     pred_fwd = forward_dir(pred_j)  # (B, T, 2, 3)
     tgt_fwd = forward_dir(tgt_j)
@@ -164,12 +171,8 @@ def geometric_loss(
         for chain in HML_KINEMATIC_CHAIN:
             for i in range(len(chain) - 1):
                 a, b = chain[i], chain[i + 1]
-                pred_bones.append(
-                    jnp.linalg.norm(pred_j[..., a, :] - pred_j[..., b, :], axis=-1, keepdims=True)
-                )
-                tgt_bones.append(
-                    jnp.linalg.norm(tgt_j[..., a, :] - tgt_j[..., b, :], axis=-1, keepdims=True)
-                )
+                pred_bones.append(_safe_norm(pred_j[..., a, :] - pred_j[..., b, :]))
+                tgt_bones.append(_safe_norm(tgt_j[..., a, :] - tgt_j[..., b, :]))
         losses["BL"] = (
             mix_masked_mse(
                 jnp.concatenate(pred_bones, -1), jnp.concatenate(tgt_bones, -1),

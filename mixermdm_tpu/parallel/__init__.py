@@ -1,0 +1,3 @@
+from .mesh import data_sharded, make_mesh, replicate, replicated, shard_batch
+
+__all__ = ["data_sharded", "make_mesh", "replicate", "replicated", "shard_batch"]

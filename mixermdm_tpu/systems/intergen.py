@@ -1,0 +1,122 @@
+"""InterGen system: two-person baseline.
+
+Reference surface ``/root/reference/src/models/intergen.py:20-213``: CLIP
+ViT-L/14 + 2-layer post-encoder, InterDenoiser, CFG DDIM sampling.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..diffusion import gaussian as G
+from ..diffusion.losses import motion_training_losses
+from ..diffusion.schedule import named_schedule
+from ..models.cfg import cfg_model
+from ..models.clip_text import ClipTextConfig
+from ..models.intergen import InterDenoiser
+from ..utils.normalizer import Normalizer, interhuman_normalizer
+from .in2in import generate_src_mask
+from .text import TextPipeline
+
+
+class InterGenSystem:
+    def __init__(
+        self,
+        cfg: Config,
+        clip_cfg: Optional[ClipTextConfig] = None,
+        normalizer: Optional[Normalizer] = None,
+        data_root: str = "./data",
+    ):
+        self.cfg = cfg
+        self.nfeats = int(cfg.INPUT_DIM)
+        self.text = TextPipeline(clip_cfg, heads=("interaction",))
+        self.denoiser = InterDenoiser(
+            input_feats=self.nfeats,
+            latent_dim=int(cfg.LATENT_DIM),
+            ff_size=int(cfg.FF_SIZE),
+            num_layers=int(cfg.NUM_LAYERS),
+            num_heads=int(cfg.NUM_HEADS),
+        )
+        steps = int(cfg.DIFFUSION_STEPS)
+        self.train_schedule = named_schedule(cfg.BETA_SCHEDULER, steps)
+        self.sample_schedule = named_schedule(
+            cfg.BETA_SCHEDULER, steps, cfg.get("STRATEGY", "ddim50")
+        )
+        self.normalizer = normalizer if normalizer is not None else interhuman_normalizer(data_root)
+        self._jit_sample = {}
+
+    def init_params(self, rng):
+        r1, r2 = jax.random.split(rng)
+        params = {"text": self.text.init_params(r1)}
+        x = jnp.zeros((1, 8, 2 * self.nfeats))
+        params["denoiser"] = self.denoiser.init(
+            r2, x, jnp.zeros((1,), jnp.int32), None, jnp.zeros((1, 768))
+        )["params"]
+        return params
+
+    def text_process(self, params, texts, mode="interaction"):
+        return self.text.encode_texts(params["text"], texts, head="interaction")
+
+    def denoiser_apply(self):
+        d = self.denoiser
+
+        def apply(p, x, t, mask, cond):
+            return d.apply({"params": p}, x, t, mask, cond)
+
+        return apply
+
+    def compute_loss(self, params, motions, motion_lens, cond, rng, cond_mask_prob=0.1):
+        B, T = motions.shape[:2]
+        rng_mask, rng_t, rng_noise = jax.random.split(rng, 3)
+        if cond_mask_prob > 0:
+            drop = jax.random.bernoulli(rng_mask, cond_mask_prob, (B, 1))
+            cond = cond * (1.0 - drop)
+        seq_mask = generate_src_mask(T, motion_lens, B)
+        t = jax.random.randint(rng_t, (B,), 0, self.train_schedule.num_timesteps)
+        apply = self.denoiser_apply()
+        dparams = params["denoiser"]
+
+        def model_fn(x_t, t_orig):
+            return apply(dparams, x_t, t_orig, seq_mask, cond)
+
+        return motion_training_losses(
+            model_fn, self.train_schedule, motions, t, seq_mask, rng_noise,
+            mode="interaction", t_bar=int(self.cfg.T_BAR), normalizer=self.normalizer,
+        )
+
+    def sample(self, params, cond, n_frames: int, rng, normalize_output: bool = True):
+        B = cond.shape[0]
+        key = (B, n_frames)
+        if key not in self._jit_sample:
+            self._jit_sample[key] = jax.jit(partial(self._sample_impl, n_frames=n_frames))
+        out = self._jit_sample[key](params, cond, rng)
+        if normalize_output:
+            out = self.normalizer.backward(out.reshape(B, n_frames, 2, -1)).reshape(
+                B, n_frames, -1
+            )
+        return out
+
+    def _sample_impl(self, params, cond, rng, *, n_frames):
+        B = cond.shape[0]
+        apply = self.denoiser_apply()
+        dparams = params["denoiser"]
+        model = cfg_model(
+            lambda x, t, m, c: apply(dparams, x, t, m, c), float(self.cfg.CFG_WEIGHT)
+        )
+
+        def model_fn(x, t_orig):
+            return model(x, t_orig, None, cond)
+
+        return G.ddim_sample_loop(
+            model_fn, self.sample_schedule, (B, n_frames, self.nfeats * 2), rng,
+            clip_denoised=False,
+        )
+
+    def forward_test(self, params, batch, rng):
+        cond = self.text_process(params, batch["text"])
+        return self.sample(params, cond, int(batch["motion_lens"][0]), rng)

@@ -1,0 +1,302 @@
+"""MixerMDM system: the flagship learnable composition.
+
+Reference surface ``/root/reference/src/models/mixermdm.py:18-602``:
+wraps two frozen pre-trained models (individual + interaction), the Mixer
+(influence net + embedders), two discriminators, and its own CLIP
+post-encoder; ``generate_cond`` concatenates 8x768 conditions;
+``compute_loss`` runs adversarial training; ``forward``/``forward_test`` run
+the dual-stream CFG DDIM chain.
+
+TPU re-design highlights
+------------------------
+* the whole 50-step chain compiles to one ``lax.scan`` (the reference loops
+  in Python and rebuilds its diffusion object per call, mixermdm.py:515);
+* CFG cond/uncond and the two person streams are batch-stacked, so each DDIM
+  step costs ONE jitted forward of each frozen denoiser at 4B effective
+  batch (2 CFG x 2 persons) instead of 6 separate module calls;
+* influence histories come back as scan outputs, not Python-side mutation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config, MIXERMDM_DEFAULT
+from ..diffusion.mixer_diffusion import ddim_sample_loop_x2, mixer_training_losses
+from ..diffusion.schedule import named_schedule
+from ..models.cfg import cfg_model_x2
+from ..models.clip_text import ClipTextConfig
+from ..models.discriminator import DiscriminatorTransformer
+from ..models.mixer import MixerConfig, MixerCore, make_mixer_forward
+from ..utils.normalizer import Normalizer, hml3d_normalizer, interhuman_normalizer
+from .in2in import In2INSystem, generate_src_mask
+from .text import TextPipeline
+
+
+class MixerMDMSystem:
+    def __init__(
+        self,
+        cfg: Optional[Config] = None,
+        model1: Optional[In2INSystem] = None,
+        model2: Optional[In2INSystem] = None,
+        clip_cfg: Optional[ClipTextConfig] = None,
+        align: bool = True,
+        data_root: str = "./data",
+        normalizer1: Optional[Normalizer] = None,
+        normalizer2: Optional[Normalizer] = None,
+    ):
+        self.cfg = cfg or MIXERMDM_DEFAULT
+        g = self.cfg.GENERATOR if "GENERATOR" in self.cfg else self.cfg
+        d = self.cfg.DISCRIMINATOR if "DISCRIMINATOR" in self.cfg else self.cfg
+        self.nfeats = int(g.INPUT_DIM)
+        self.align = align
+
+        # Frozen submodels (the shipped config pairs in2IN-individual with
+        # in2IN-interaction; MDM/InterGen variants plug in the same way).
+        self.model1 = model1 or In2INSystem(mode="individual", clip_cfg=clip_cfg, data_root=data_root)
+        self.model2 = model2 or In2INSystem(mode="interaction", clip_cfg=clip_cfg, data_root=data_root)
+
+        self.text_dim = (clip_cfg or self.model2.text.clip_cfg).width
+        self.mixer_cfg = MixerConfig(
+            nfeats=self.nfeats,
+            latent_dim=int(g.LATENT_DIM),
+            ff_size=int(g.FF_SIZE),
+            n_blocks=int(g.NUM_LAYERS),
+            n_heads=int(g.NUM_HEADS),
+            mixing_mode=int(self.cfg.MIXING_MODE),
+            align=align,
+            text_dim=self.text_dim,
+            denoiser1_text_dim=self.model1.text_dim,
+            denoiser2_text_dim=self.model2.text_dim,
+        )
+        self.core = MixerCore(
+            nfeats=self.nfeats,
+            latent_dim=self.mixer_cfg.latent_dim,
+            ff_size=self.mixer_cfg.ff_size,
+            n_blocks=self.mixer_cfg.n_blocks,
+            n_heads=self.mixer_cfg.n_heads,
+            mixing_mode=self.mixer_cfg.mixing_mode,
+        )
+        self.disc_i = DiscriminatorTransformer(
+            input_feats=self.nfeats,
+            latent_dim=int(d.LATENT_DIM),
+            ff_size=int(d.FF_SIZE),
+            num_layers=int(d.NUM_LAYERS),
+            num_heads=int(d.NUM_HEADS),
+        )
+        self.disc_I = DiscriminatorTransformer(
+            input_feats=self.nfeats * 2,
+            latent_dim=int(d.LATENT_DIM),
+            ff_size=int(d.FF_SIZE),
+            num_layers=int(d.NUM_LAYERS),
+            num_heads=int(d.NUM_HEADS),
+        )
+        # Own CLIP post-encoder for the influence conds (mixermdm.py:244-256).
+        self.text = TextPipeline(clip_cfg or self.model2.text.clip_cfg, heads=("mixer",))
+
+        steps = int(self.cfg.DIFFUSION_STEPS)
+        self.train_schedule = named_schedule(self.cfg.BETA_SCHEDULER, steps)
+        self.sample_schedule = named_schedule(
+            self.cfg.BETA_SCHEDULER, steps, self.cfg.get("STRATEGY", "ddim50")
+        )
+
+        self.normalizer1 = normalizer1 if normalizer1 is not None else hml3d_normalizer(data_root)
+        self.normalizer2 = normalizer2 if normalizer2 is not None else interhuman_normalizer(data_root)
+
+        self.cfg_weight = float(self.cfg.CFG_WEIGHT)
+        self.force_influence_val = self.cfg.get("FORCE_INFLUENCE_VAL", None)
+
+        self._mixer_forward = make_mixer_forward(
+            self.mixer_cfg,
+            self.model1.denoiser_apply("individual"),
+            self.model2.denoiser_apply("interaction"),
+            lambda p, *args: self.core.apply({"params": p}, *args),
+            self.normalizer1,
+            self.normalizer2,
+        )
+        self._jit_sample = {}
+        self._jit_loss = {}
+
+    # ------------------------------------------------------------------ params
+    def init_params(self, rng) -> dict:
+        r = jax.random.split(rng, 6)
+        T0, F = 8, self.nfeats
+        params = {
+            "model1": self.model1.init_params(r[0]),
+            "model2": self.model2.init_params(r[1]),
+            "text": self.text.init_params(r[2]),
+        }
+        zeros = jnp.zeros
+        td = self.text_dim
+        params["core"] = self.core.init(
+            r[3],
+            zeros((1, T0, F)), zeros((1, T0, F)), zeros((1, T0, F)), zeros((1, T0, F)),
+            zeros((1,), jnp.int32), zeros((1, td)), zeros((1, td)), zeros((1, td)),
+        )["params"]
+        t0 = zeros((1,), jnp.int32)
+        params["disc_i"] = self.disc_i.init(
+            r[4], zeros((1, T0, F)), t0, None, zeros((1, td))
+        )["params"]
+        params["disc_I"] = self.disc_I.init(
+            r[5], zeros((1, T0, 2 * F)), t0, None, zeros((1, td))
+        )["params"]
+        return params
+
+    def mixer_params(self, params) -> dict:
+        return {
+            "core": params["core"],
+            "denoiser1": params["model1"]["denoiser_individual"],
+            "denoiser2": params["model2"]["denoiser_interaction"],
+        }
+
+    # ------------------------------------------------------------------- text
+    def text_process(self, params, texts):
+        """The mixer's own post-encoder head (mixermdm.py:283-313)."""
+        return self.text.encode_texts(params["text"], texts, head="mixer")
+
+    def encode_cond(self, params, tokens_inter, tokens_i1, tokens_i2) -> jnp.ndarray:
+        """Jittable cond encoder over pre-tokenised text.
+
+        Fixed order [I, I_i1, I_i2, ind_i1, ind_i2, mix_I, mix_i1, mix_i2]
+        (mixermdm.py:315-356).  The frozen submodels' conds are
+        stop-gradiented; the mixer's own head trains (the reference's
+        generator optimizer includes ``clipTransEncoder``/``clip_ln``,
+        scripts/train/mixermdm.py:62-97).
+        """
+        enc2 = lambda tok: self.model2.text.encode(
+            params["model2"]["text"], tok, "interaction"
+        )
+        enc1 = lambda tok: self.model1.text.encode(
+            params["model1"]["text"], tok, "individual"
+        )
+        encM = lambda tok: self.text.encode(params["text"], tok, "mixer")
+        frozen = jax.lax.stop_gradient(
+            jnp.concatenate(
+                [enc2(tokens_inter), enc2(tokens_i1), enc2(tokens_i2),
+                 enc1(tokens_i1), enc1(tokens_i2)],
+                axis=1,
+            )
+        )
+        mix = jnp.concatenate(
+            [encM(tokens_inter), encM(tokens_i1), encM(tokens_i2)], axis=1
+        )
+        return jnp.concatenate([frozen, mix], axis=1)
+
+    def tokenize_batch(self, batch: dict) -> dict:
+        """Host-side tokenisation of the three text fields."""
+        text_inter = batch.get("text_interaction", batch.get("text"))
+        return {
+            "tokens_inter": self.text.tokenize(text_inter),
+            "tokens_i1": self.text.tokenize(batch["text_individual1"]),
+            "tokens_i2": self.text.tokenize(batch["text_individual2"]),
+        }
+
+    def generate_cond(self, params, batch: dict) -> jnp.ndarray:
+        """String-batch convenience wrapper (tokenise + encode)."""
+        toks = self.tokenize_batch(batch)
+        return self.encode_cond(
+            params, toks["tokens_inter"], toks["tokens_i1"], toks["tokens_i2"]
+        )
+
+    # ------------------------------------------------------------------- loss
+    def compute_loss(self, params, motions, motion_lens, cond, rng, *, mode,
+                     i_loss_factor=1.0, I_loss_factor=2.0, l1=0.1,
+                     cond_mask_prob=0.1):
+        """Adversarial loss, jitted per (mode, shape) (mixermdm.py:390-488)."""
+        key = (mode, motions.shape, float(i_loss_factor), float(I_loss_factor), float(l1))
+        if key not in self._jit_loss:
+            self._jit_loss[key] = jax.jit(
+                partial(
+                    self._loss_impl, mode=mode, i_loss_factor=i_loss_factor,
+                    I_loss_factor=I_loss_factor, l1=l1, cond_mask_prob=cond_mask_prob,
+                )
+            )
+        return self._jit_loss[key](params, motions, motion_lens, cond, rng)
+
+    def _loss_impl(self, params, motions, motion_lens, cond, rng, *, mode,
+                   i_loss_factor, I_loss_factor, l1, cond_mask_prob):
+        B, T = motions.shape[:2]
+        rng_mask, rng_t, rng_noise = jax.random.split(rng, 3)
+        if cond_mask_prob > 0:
+            drop = jax.random.bernoulli(rng_mask, cond_mask_prob, (B, 1))
+            cond = cond * (1.0 - drop)
+        seq_mask = generate_src_mask(T, motion_lens, B)
+        t = jax.random.randint(rng_t, (B,), 0, self.train_schedule.num_timesteps)
+
+        loss_params = {
+            "mixer": self.mixer_params(params),
+            "disc_i": params["disc_i"],
+            "disc_I": params["disc_I"],
+        }
+        return mixer_training_losses(
+            self._mixer_forward,
+            lambda p, x, tt, m, c: self.disc_i.apply({"params": p}, x, tt, m, c),
+            lambda p, x, tt, m, c: self.disc_I.apply({"params": p}, x, tt, m, c),
+            loss_params,
+            self.train_schedule,
+            motions, t, cond, seq_mask, rng_noise,
+            mode=mode,
+            i_loss_factor=i_loss_factor, I_loss_factor=I_loss_factor, l1=l1,
+            align=self.align,
+            normalizer1=self.normalizer1, normalizer2=self.normalizer2,
+            cond_slices=self.mixer_cfg.cond_slices(),
+            nfeats=self.nfeats,
+        )
+
+    # ----------------------------------------------------------------- sample
+    def sample(self, params, cond, n_frames: int, rng, collect_influence: bool = False):
+        """Full dual-stream CFG DDIM chain (mixermdm.py:490-548).
+
+        Returns raw-motion (B, T, 524) output; with ``collect_influence`` also
+        the per-step (infl1, infl2) histories as stacked arrays.
+        """
+        B = cond.shape[0]
+        key = (B, n_frames, collect_influence)
+        if key not in self._jit_sample:
+            self._jit_sample[key] = jax.jit(
+                partial(self._sample_impl, n_frames=n_frames,
+                        collect_influence=collect_influence)
+            )
+        return self._jit_sample[key](params, cond, rng)
+
+    def _sample_impl(self, params, cond, rng, *, n_frames, collect_influence):
+        B = cond.shape[0]
+        mp = self.mixer_params(params)
+        fiv = self.force_influence_val
+
+        def mixer_eval(x, x2, t_orig, mask, c):
+            mixed, _, _, _ = self._mixer_forward(mp, x, t_orig, c, mask, x2, fiv)
+            return mixed
+
+        model = cfg_model_x2(mixer_eval, self.cfg_weight)
+
+        influence_fn = None
+        if collect_influence:
+            def influence_fn(x, x2, t_orig, mask, c):
+                # Influence of the conditioned branch (histories are logged for
+                # the conditioned pass in the reference's eval plots).
+                _, _, _, infl = self._mixer_forward(mp, x, t_orig, c, mask, x2, fiv)
+                return infl
+
+        return ddim_sample_loop_x2(
+            model, self.sample_schedule, (B, n_frames, self.nfeats * 2), rng, cond,
+            normalizer1=self.normalizer1, normalizer2=self.normalizer2,
+            align=self.align, nfeats=self.nfeats, influence_fn=influence_fn,
+        )
+
+    def forward(self, params, batch: dict, rng):
+        """Text encode + sample with influence histories (mixermdm.py:490)."""
+        cond = self.generate_cond(params, batch)
+        n_frames = int(batch["motion_lens"][0])
+        out, infl = self.sample(params, cond, n_frames, rng, collect_influence=True)
+        return {"output": out, "influence_i1": infl[0], "influence_i2": infl[1]}
+
+    def forward_test(self, params, batch: dict, rng):
+        """Sampling only (mixermdm.py:550-602)."""
+        cond = self.generate_cond(params, batch)
+        n_frames = int(batch["motion_lens"][0])
+        return self.sample(params, cond, n_frames, rng)

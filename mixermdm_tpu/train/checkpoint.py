@@ -1,0 +1,267 @@
+"""Checkpointing (orbax) + PyTorch->JAX weight converters.
+
+The reference distributes PyTorch ``.ckpt`` files and performs ad-hoc
+state-dict surgery at every load site (SURVEY.md §5: key-prefix stripping
+``mixermdm.py:44-47``, ``model.``-removal ``scripts/infer/mixermdm.py:174-176``,
+individual->interaction renames ``finetuned.py:185-188``, DualMDM dict
+merging ``dualmdm.py:4-17``).  Here:
+
+* native orbax checkpoints for our own params (save/restore whole pytrees);
+* systematic converters from torch state dicts to our flax param trees —
+  torch ``nn.Linear`` weights are (out, in) and transpose to (in, out);
+  packed ``in_proj_weight`` splits into q/k/v; ``nn.TransformerEncoderLayer``
+  FFN/LayerNorm names map onto :mod:`mixermdm_tpu.models.torch_compat`.
+
+Converters take a flat ``{name: np.ndarray}`` dict, so tests can feed
+``module.state_dict()`` from live torch modules and assert bit-parity.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+
+
+def save_checkpoint(path: str, params, step: int = 0) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path: str, template=None):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), template)
+
+
+# ---------------------------------------------------------------------------
+# torch -> flax converters (all take flat numpy state dicts)
+# ---------------------------------------------------------------------------
+
+
+def _t(w: np.ndarray) -> np.ndarray:
+    """torch Linear weight (out, in) -> flax kernel (in, out)."""
+    return np.ascontiguousarray(w.T)
+
+
+def load_torch_state_dict(path: str, strip_prefixes=("model.",)) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint to numpy, applying the reference's usual
+    prefix surgery."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    out = {}
+    for k, v in sd.items():
+        for p in strip_prefixes:
+            if k.startswith(p):
+                k = k[len(p):]
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+def convert_mha(sd: Dict[str, np.ndarray], prefix: str) -> dict:
+    """torch ``nn.MultiheadAttention`` -> TorchMultiheadAttention params.
+
+    Handles both the packed ``in_proj_weight`` layout (qkv same dim) and
+    separate ``q/k/v_proj_weight`` (different kdim/vdim).
+    """
+    p = prefix
+    if f"{p}.in_proj_weight" in sd:
+        w = sd[f"{p}.in_proj_weight"]
+        b = sd[f"{p}.in_proj_bias"]
+        E = w.shape[1]
+        qw, kw, vw = w[:E], w[E : 2 * E], w[2 * E :]
+        qb, kb, vb = b[:E], b[E : 2 * E], b[2 * E :]
+    else:
+        qw, kw, vw = (
+            sd[f"{p}.q_proj_weight"], sd[f"{p}.k_proj_weight"], sd[f"{p}.v_proj_weight"]
+        )
+        b = sd[f"{p}.in_proj_bias"]
+        E = qw.shape[0]
+        qb, kb, vb = b[:E], b[E : 2 * E], b[2 * E :]
+    return {
+        "q_proj": {"kernel": _t(qw), "bias": qb},
+        "k_proj": {"kernel": _t(kw), "bias": kb},
+        "v_proj": {"kernel": _t(vw), "bias": vb},
+        "out_proj": {
+            "kernel": _t(sd[f"{p}.out_proj.weight"]),
+            "bias": sd[f"{p}.out_proj.bias"],
+        },
+    }
+
+
+def convert_linear(sd, prefix: str) -> dict:
+    return {"kernel": _t(sd[f"{prefix}.weight"]), "bias": sd[f"{prefix}.bias"]}
+
+
+def convert_layernorm(sd, prefix: str) -> dict:
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def convert_adaln(sd, prefix: str) -> dict:
+    """AdaLN: emb_layers = Sequential(SiLU, Linear) -> index 1 (layers.py:8-12)."""
+    return {"emb_proj": convert_linear(sd, f"{prefix}.emb_layers.1")}
+
+
+def convert_ffn(sd, prefix: str, has_norm: bool = True) -> dict:
+    out = {
+        "linear1": convert_linear(sd, f"{prefix}.linear1"),
+        "linear2": convert_linear(sd, f"{prefix}.linear2"),
+    }
+    if has_norm and f"{prefix}.norm.emb_layers.1.weight" in sd:
+        out["norm"] = convert_adaln(sd, f"{prefix}.norm")
+    return out
+
+
+def convert_self_attention(sd, prefix: str) -> dict:
+    out = {"attention": convert_mha(sd, f"{prefix}.attention")}
+    if f"{prefix}.norm.emb_layers.1.weight" in sd:
+        out["norm"] = convert_adaln(sd, f"{prefix}.norm")
+    return out
+
+
+def convert_cross_attention(sd, prefix: str) -> dict:
+    return {
+        "attention": convert_mha(sd, f"{prefix}.attention"),
+        "norm": convert_adaln(sd, f"{prefix}.norm"),
+        "xf_norm": convert_adaln(sd, f"{prefix}.xf_norm"),
+    }
+
+
+def convert_timestep_embedder(sd, prefix: str) -> dict:
+    """TimestepEmbedder: time_embed = Sequential(Linear, SiLU, Linear)."""
+    return {
+        "linear1": convert_linear(sd, f"{prefix}.time_embed.0"),
+        "linear2": convert_linear(sd, f"{prefix}.time_embed.2"),
+    }
+
+
+def convert_transformer_block(sd, prefix: str, has_cross: bool = True) -> dict:
+    out = {
+        "sa_block": convert_self_attention(sd, f"{prefix}.sa_block"),
+        "ffn": convert_ffn(sd, f"{prefix}.ffn"),
+    }
+    if has_cross and f"{prefix}.ca_block.attention.out_proj.weight" in sd:
+        out["ca_block"] = convert_cross_attention(sd, f"{prefix}.ca_block")
+    return out
+
+
+def convert_in2in_denoiser(sd, prefix: str, num_layers: int, has_cross: bool) -> dict:
+    """in2INDenoiser / InterDenoiser state dict -> In2INDenoiser params."""
+    p = prefix + "." if prefix else ""
+    out = {
+        "embed_timestep": convert_timestep_embedder(sd, f"{p}embed_timestep"),
+        "motion_embed": convert_linear(sd, f"{p}motion_embed"),
+        "text_embed": convert_linear(sd, f"{p}text_embed"),
+        "out": {"linear": convert_linear(sd, f"{p}out.linear")},
+    }
+    for i in range(num_layers):
+        out[f"blocks_{i}"] = convert_transformer_block(sd, f"{p}blocks.{i}", has_cross)
+    return out
+
+
+def convert_discriminator(sd, prefix: str, num_layers: int) -> dict:
+    p = prefix + "." if prefix else ""
+    out = {
+        "embed_timestep": convert_timestep_embedder(sd, f"{p}embed_timestep"),
+        "motion_embed": convert_linear(sd, f"{p}motion_embed"),
+        "text_embed": convert_linear(sd, f"{p}text_embed"),
+        "out": convert_linear(sd, f"{p}out"),
+    }
+    for i in range(num_layers):
+        out[f"blocks_{i}"] = convert_transformer_block(sd, f"{p}blocks.{i}", has_cross=False)
+    return out
+
+
+def convert_torch_encoder_layer(sd, prefix: str) -> dict:
+    """torch ``nn.TransformerEncoderLayer`` -> TorchEncoderLayer params."""
+    return {
+        "self_attn": convert_mha(sd, f"{prefix}.self_attn"),
+        "linear1": convert_linear(sd, f"{prefix}.linear1"),
+        "linear2": convert_linear(sd, f"{prefix}.linear2"),
+        "norm1": convert_layernorm(sd, f"{prefix}.norm1"),
+        "norm2": convert_layernorm(sd, f"{prefix}.norm2"),
+    }
+
+
+def convert_torch_encoder(sd, prefix: str, num_layers: int) -> dict:
+    return {
+        f"layers_{i}": convert_torch_encoder_layer(sd, f"{prefix}.layers.{i}")
+        for i in range(num_layers)
+    }
+
+
+def convert_clip_post_encoder(sd, enc_prefix: str, ln_prefix: str, num_layers: int = 2) -> dict:
+    """clipTransEncoder + clip_ln -> ClipPostEncoder params."""
+    return {
+        "encoder": convert_torch_encoder(sd, enc_prefix, num_layers),
+        "ln": convert_layernorm(sd, ln_prefix),
+    }
+
+
+def convert_clip_resblock(sd, prefix: str) -> dict:
+    return {
+        "ln_1": convert_layernorm(sd, f"{prefix}.ln_1"),
+        "ln_2": convert_layernorm(sd, f"{prefix}.ln_2"),
+        "attn": convert_mha(sd, f"{prefix}.attn"),
+        "c_fc": convert_linear(sd, f"{prefix}.mlp.c_fc"),
+        "c_proj": convert_linear(sd, f"{prefix}.mlp.c_proj"),
+    }
+
+
+def convert_clip_text(sd, num_layers: int, prefix: str = "") -> dict:
+    """OpenAI CLIP text tower -> ClipTextTransformer params.
+
+    Expects keys ``token_embedding.weight``, ``positional_embedding``,
+    ``transformer.resblocks.{i}.*``, ``ln_final.*`` (optionally prefixed).
+    """
+    p = prefix + "." if prefix else ""
+    out = {
+        "token_embedding": sd[f"{p}token_embedding.weight"],
+        "positional_embedding": sd[f"{p}positional_embedding"],
+        "ln_final": convert_layernorm(sd, f"{p}ln_final"),
+    }
+    for i in range(num_layers):
+        out[f"resblocks_{i}"] = convert_clip_resblock(sd, f"{p}transformer.resblocks.{i}")
+    return out
+
+
+def convert_influence(sd, prefix: str, n_blocks: int) -> dict:
+    p = prefix + "." if prefix else ""
+    out = {"out": convert_linear(sd, f"{p}out")}
+    for i in range(n_blocks):
+        out[f"blocks_{i}"] = {
+            "sa_block": convert_self_attention(sd, f"{p}blocks.{i}.sa_block"),
+            "ca_block": convert_cross_attention(sd, f"{p}blocks.{i}.ca_block"),
+            "ffn": convert_ffn(sd, f"{p}blocks.{i}.ffn"),
+        }
+    return out
+
+
+def convert_mixer_core(sd, n_blocks: int, prefix: str = "mixing") -> dict:
+    """Reference Mixer trainable parts -> MixerCore params
+    (mixermdm.py:627-653: influence + embedders)."""
+    p = prefix + "." if prefix else ""
+    return {
+        "embed_timestep": convert_timestep_embedder(sd, f"{p}embed_timestep"),
+        "motion_embed": convert_linear(sd, f"{p}motion_embed"),
+        "text_embed": convert_linear(sd, f"{p}text_embed"),
+        "influence": convert_influence(sd, f"{p}influence", n_blocks),
+    }
+
+
+def convert_mdm_denoiser(sd, num_layers: int, prefix: str = "model") -> dict:
+    p = prefix + "." if prefix else ""
+    return {
+        "embed_timestep": convert_timestep_embedder(sd, f"{p}embed_timestep"),
+        "input_process": convert_linear(sd, f"{p}input_process.poseEmbedding"),
+        "output_process": convert_linear(sd, f"{p}output_process.poseFinal"),
+        "seqTransEncoder": convert_torch_encoder(sd, f"{p}seqTransEncoder", num_layers),
+    }

@@ -1,0 +1,44 @@
+"""Optimizers: AdamW + clipping + grad accumulation + cosine warmup.
+
+Reference training config (``/root/reference/configs/train/MixerMDM.yaml``:
+lr 1e-5, wd 1e-4, clip 0.5, grad_acc 2; ``scripts/train/mixermdm.py:62-97,
+146-207``) and the CosineWarmupScheduler (``models/utils/utils.py:6-20``) map
+onto optax transforms; Lightning's manual-optimization plumbing disappears.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import optax
+
+
+def cosine_warmup_schedule(base_lr: float, warmup: int, max_iters: int):
+    """lr factor = 0.5*(1+cos(pi*t/T)), linearly scaled during warmup
+    (utils.py:12-20)."""
+
+    def schedule(count):
+        import jax.numpy as jnp
+
+        t = count.astype(jnp.float32) if hasattr(count, "astype") else float(count)
+        factor = 0.5 * (1.0 + jnp.cos(jnp.pi * t / max_iters))
+        warm = jnp.minimum((t + 1.0) / warmup, 1.0) if warmup > 0 else 1.0
+        return base_lr * factor * warm
+
+    return schedule
+
+
+def make_adamw(
+    lr: float = 1e-5,
+    weight_decay: float = 1e-4,
+    clip_norm: float | None = 0.5,
+    grad_acc_steps: int = 1,
+    schedule=None,
+) -> optax.GradientTransformation:
+    tx = []
+    if clip_norm is not None:
+        tx.append(optax.clip_by_global_norm(clip_norm))
+    tx.append(optax.adamw(schedule if schedule is not None else lr, weight_decay=weight_decay))
+    opt = optax.chain(*tx)
+    if grad_acc_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=grad_acc_steps)
+    return opt

@@ -1,0 +1,196 @@
+"""Trainers: adversarial mixer training + base diffusion-model training.
+
+Reference harness (``/root/reference/src/scripts/train/mixermdm.py:29-343``):
+PyTorch-Lightning module with manual optimization, two AdamW optimizers,
+per-batch generator step + every-N discriminator step, grad accumulation,
+0.5-norm clipping, DDP/NCCL.  Here each step is a pure jitted function over a
+``jax.sharding.Mesh`` (params replicated, batch data-sharded; XLA inserts the
+gradient psum) and the generator/discriminator freeze alternation is
+expressed by taking grads only w.r.t. that side's param subtree — no
+requires_grad mutation (mixermdm.py:403-431).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Iterable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .optim import make_adamw
+
+GEN_KEYS = ("core", "text")          # + the mixer's CLIP post-encoder head
+DISC_KEYS = ("disc_i", "disc_I")
+
+
+class MixerTrainState(NamedTuple):
+    params: Any
+    opt_gen: Any
+    opt_disc: Any
+    step: jnp.ndarray
+
+
+def _subset(params: dict, keys) -> dict:
+    return {k: params[k] for k in keys}
+
+
+def _merge(params: dict, sub: dict) -> dict:
+    out = dict(params)
+    out.update(sub)
+    return out
+
+
+class MixerTrainer:
+    """Adversarial trainer for :class:`~mixermdm_tpu.systems.MixerMDMSystem`."""
+
+    def __init__(
+        self,
+        system,
+        lr: float = 1e-5,
+        weight_decay: float = 1e-4,
+        clip_norm: float = 0.5,
+        grad_acc_steps: int = 2,
+        discriminator_steps: int = 1,
+        i_loss_factor: float = 1.0,
+        I_loss_factor: float = 2.0,
+        l1: float = 0.1,
+        mesh=None,
+    ):
+        self.system = system
+        self.discriminator_steps = discriminator_steps
+        self.loss_kw = dict(
+            i_loss_factor=i_loss_factor, I_loss_factor=I_loss_factor, l1=l1
+        )
+        self.opt_gen = make_adamw(lr, weight_decay, clip_norm, grad_acc_steps)
+        self.opt_disc = make_adamw(lr, weight_decay, clip_norm, grad_acc_steps)
+        self.mesh = mesh
+
+        # Sharding rides on the arguments: callers place the batch with
+        # ``parallel.mesh.shard_batch`` and params with ``replicate`` — jit
+        # then compiles an SPMD program with the gradient psum over ICI.
+        self._gen_step = jax.jit(partial(self._step, mode="generator"))
+        self._disc_step = jax.jit(partial(self._step, mode="discriminator"))
+
+    def init_state(self, params) -> MixerTrainState:
+        return MixerTrainState(
+            params=params,
+            opt_gen=self.opt_gen.init(_subset(params, GEN_KEYS)),
+            opt_disc=self.opt_disc.init(_subset(params, DISC_KEYS)),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def _step(self, state: MixerTrainState, batch: dict, rng, *, mode: str):
+        sys = self.system
+        keys = GEN_KEYS if mode == "generator" else DISC_KEYS
+        opt = self.opt_gen if mode == "generator" else self.opt_disc
+        opt_state = state.opt_gen if mode == "generator" else state.opt_disc
+
+        def loss_fn(train_params):
+            p = _merge(state.params, train_params)
+            cond = sys.encode_cond(
+                p, batch["tokens_inter"], batch["tokens_i1"], batch["tokens_i2"]
+            )
+            losses = sys._loss_impl(
+                p, batch["motions"], batch["motion_lens"], cond, rng,
+                mode=mode, cond_mask_prob=0.1, **self.loss_kw,
+            )
+            return losses["total"], losses
+
+        train_params = _subset(state.params, keys)
+        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
+        updates, new_opt_state = opt.update(grads, opt_state, train_params)
+        new_params = _merge(state.params, optax.apply_updates(train_params, updates))
+
+        if mode == "generator":
+            new_state = state._replace(
+                params=new_params, opt_gen=new_opt_state, step=state.step + 1
+            )
+        else:
+            new_state = state._replace(params=new_params, opt_disc=new_opt_state)
+        return new_state, losses
+
+    def generator_step(self, state, batch, rng):
+        return self._gen_step(state, batch, rng)
+
+    def discriminator_step(self, state, batch, rng):
+        return self._disc_step(state, batch, rng)
+
+    def fit_step(self, state: MixerTrainState, batch: dict, rng, batch_idx: int):
+        """One harness step: G every batch, D every ``discriminator_steps``
+        (scripts/train/mixermdm.py:146-207)."""
+        rng_g, rng_d = jax.random.split(rng)
+        state, g_losses = self.generator_step(state, batch, rng_g)
+        d_losses = None
+        if batch_idx % self.discriminator_steps == 0:
+            state, d_losses = self.discriminator_step(state, batch, rng_d)
+        return state, g_losses, d_losses
+
+
+class BaseTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class BaseTrainer:
+    """MSE+geometric trainer for In2IN / MDM / InterGen systems
+    (reference scripts/train/{in2IN,mdm}.py)."""
+
+    def __init__(
+        self,
+        system,
+        lr: float = 1e-4,
+        weight_decay: float = 2e-5,
+        clip_norm: Optional[float] = None,
+        grad_acc_steps: int = 1,
+        mesh=None,
+        train_text_head: bool = True,
+    ):
+        self.system = system
+        self.train_text_head = train_text_head
+        self.opt = make_adamw(lr, weight_decay, clip_norm, grad_acc_steps)
+        self.mesh = mesh
+
+        self._jit_step = jax.jit(self._step)
+
+    def _trainable_keys(self, params):
+        keys = [k for k in params if k.startswith("denoiser")]
+        if self.train_text_head and "text" in params:
+            keys.append("text")
+        if self.train_text_head and "embed_text" in params:
+            keys.append("embed_text")
+        return tuple(keys)
+
+    def init_state(self, params) -> BaseTrainState:
+        return BaseTrainState(
+            params=params,
+            opt_state=self.opt.init(_subset(params, self._trainable_keys(params))),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def _step(self, state: BaseTrainState, batch: dict, rng):
+        sys = self.system
+        keys = self._trainable_keys(state.params)
+        token_keys = [k for k in batch if k.startswith("tokens")]
+
+        def loss_fn(train_params):
+            p = _merge(state.params, train_params)
+            cond = sys.encode_cond_tokens(p, {k: batch[k] for k in token_keys})
+            losses = sys.compute_loss(
+                p, batch["motions"], batch["motion_lens"], cond, rng
+            )
+            return losses["total"], losses
+
+        train_params = _subset(state.params, keys)
+        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
+        updates, new_opt = self.opt.update(grads, state.opt_state, train_params)
+        new_params = _merge(state.params, optax.apply_updates(train_params, updates))
+        return (
+            BaseTrainState(new_params, new_opt, state.step + 1),
+            losses,
+        )
+
+    def step(self, state, batch, rng):
+        return self._jit_step(state, batch, rng)

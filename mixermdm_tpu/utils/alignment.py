@@ -139,10 +139,12 @@ def center_motion(motion: jnp.ndarray) -> jnp.ndarray:
 
     r_hip, l_hip = FACE_JOINT_INDX[:2]
     across = root_init[:, r_hip] - root_init[:, l_hip]
-    across = across / jnp.sqrt((across**2).sum(axis=-1, keepdims=True))
+    # eps-stabilised norms: keeps the degenerate zero pose (fresh zero-init
+    # model output) finite; identical on real data.
+    across = across / jnp.sqrt((across**2).sum(axis=-1, keepdims=True) + 1e-12)
     up = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], dtype=motion.dtype), across.shape)
     forward = jnp.cross(up, across)
-    forward = forward / jnp.sqrt((forward**2).sum(axis=-1, keepdims=True))
+    forward = forward / jnp.sqrt((forward**2).sum(axis=-1, keepdims=True) + 1e-12)
     target = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dtype=motion.dtype), forward.shape)
 
     root_quat = qbetween(forward, target)  # (B, 4)

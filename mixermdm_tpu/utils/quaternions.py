@@ -55,10 +55,13 @@ def qbetween(v0: jnp.ndarray, v1: jnp.ndarray) -> jnp.ndarray:
     keeps the antiparallel case finite (though degenerate, as upstream).
     """
     v = jnp.cross(v0, v1)
+    # eps inside the sqrt keeps the gradient finite for zero-length inputs
+    # (value matches the reference to float precision on real data).
     w = (
         jnp.sqrt(
             (v0**2).sum(axis=-1, keepdims=True)
             * (v1**2).sum(axis=-1, keepdims=True)
+            + 1e-24
         )
         + (v0 * v1).sum(axis=-1, keepdims=True)
         + 1e-8

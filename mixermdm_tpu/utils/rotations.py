@@ -13,12 +13,27 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _safe_normalize(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    return v * jax_rsqrt((v * v).sum(axis=-1, keepdims=True) + eps)
+
+
+def jax_rsqrt(x):
+    import jax.lax
+
+    return jax.lax.rsqrt(x)
+
+
 def rotation_6d_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
-    """(..., 6) continuous 6d rep -> (..., 3, 3) via Gram-Schmidt."""
+    """(..., 6) continuous 6d rep -> (..., 3, 3) via Gram-Schmidt.
+
+    Normalisation is eps-stabilised so degenerate all-zero inputs (the output
+    of a fresh zero-init denoiser) stay finite; identical to the reference on
+    any non-degenerate rotation.
+    """
     a1, a2 = d6[..., :3], d6[..., 3:]
-    b1 = a1 / jnp.linalg.norm(a1, axis=-1, keepdims=True)
+    b1 = _safe_normalize(a1)
     b2 = a2 - (b1 * a2).sum(axis=-1, keepdims=True) * b1
-    b2 = b2 / jnp.linalg.norm(b2, axis=-1, keepdims=True)
+    b2 = _safe_normalize(b2)
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-2)
 
@@ -29,7 +44,8 @@ def matrix_to_rotation_6d(m: jnp.ndarray) -> jnp.ndarray:
 
 
 def axis_angle_to_quaternion(axis_angle: jnp.ndarray) -> jnp.ndarray:
-    angles = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
+    # eps inside the sqrt: finite gradient at the zero rotation.
+    angles = jnp.sqrt((axis_angle**2).sum(axis=-1, keepdims=True) + 1e-24)
     half = angles * 0.5
     eps = 1e-6
     small = jnp.abs(angles) < eps
@@ -41,7 +57,9 @@ def axis_angle_to_quaternion(axis_angle: jnp.ndarray) -> jnp.ndarray:
 
 
 def quaternion_to_axis_angle(q: jnp.ndarray) -> jnp.ndarray:
-    norms = jnp.linalg.norm(q[..., 1:], axis=-1, keepdims=True)
+    # eps inside the sqrt keeps the gradient finite at the identity rotation
+    # (xyz == 0), which real motion data hits constantly.
+    norms = jnp.sqrt((q[..., 1:] ** 2).sum(axis=-1, keepdims=True) + 1e-24)
     half_angles = jnp.arctan2(norms, q[..., :1])
     angles = 2.0 * half_angles
     eps = 1e-6
@@ -61,7 +79,9 @@ def axis_angle_to_matrix(axis_angle: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sqrt_positive_part(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    # max(x, 0) + tiny eps: finite gradient at x == 0 (non-selected quaternion
+    # candidates hit this for every axis-aligned rotation).
+    return jnp.sqrt(jnp.maximum(x, 0.0) + 1e-24)
 
 
 def matrix_to_quaternion(m: jnp.ndarray) -> jnp.ndarray:
