@@ -1,0 +1,85 @@
+"""in2IN / DualMDM inference CLI.
+
+Reference (``/root/reference/src/scripts/infer/in2IN.py:111-154``): modes
+``interaction`` / ``individual`` / ``dual`` (DualMDM baseline), 210-frame
+window, per-mode normalizer backward + gaussian smoothing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="in2IN inference")
+    parser.add_argument("--model", type=str, default=None)
+    parser.add_argument("--name", type=str, required=True)
+    parser.add_argument("--mode", type=str, default="interaction",
+                        choices=["interaction", "individual", "dual"])
+    parser.add_argument("--text", type=str, required=True)
+    parser.add_argument("--text-individual1", type=str, default=None)
+    parser.add_argument("--text-individual2", type=str, default=None)
+    parser.add_argument("--num-samples", type=int, default=1)
+    parser.add_argument("--window", type=int, default=210)
+    parser.add_argument("--out-dir", type=str, default="results")
+    parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--w-func", type=str, default="const", help="DualMDM weight schedule")
+    parser.add_argument("--w-value", type=float, default=0.5)
+    parser.add_argument("--tiny", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from ..config import IN2IN_INTERACTION_DEFAULT, IN2IN_INDIVIDUAL_DEFAULT, get_config, tiny_config
+    from ..models.clip_text import ClipTextConfig
+    from ..systems import In2INSystem
+
+    if args.tiny:
+        cfg = tiny_config()
+        clip_cfg = ClipTextConfig.tiny()
+        args.window = 16
+    else:
+        default = (
+            IN2IN_INDIVIDUAL_DEFAULT if args.mode == "individual" else IN2IN_INTERACTION_DEFAULT
+        )
+        cfg = get_config(args.model) if args.model else default
+        clip_cfg = ClipTextConfig.vit_l_14()
+    if args.mode == "dual":
+        cfg = dict(cfg)
+        cfg["W_FUNC"] = args.w_func
+        cfg["W_VALUE"] = args.w_value
+        from ..config import Config
+        cfg = Config.wrap(cfg)
+
+    system = In2INSystem(cfg, mode=args.mode, clip_cfg=clip_cfg)
+    rng = jax.random.PRNGKey(args.seed)
+    rng, init_rng = jax.random.split(rng)
+    params = system.init_params(init_rng)
+    if args.checkpoint:
+        from ..train.checkpoint import restore_checkpoint
+
+        params = restore_checkpoint(args.checkpoint, params)
+
+    B = args.num_samples
+    batch = {"text": [args.text] * B, "motion_lens": np.asarray([args.window] * B)}
+    if args.mode != "individual":
+        batch["text_individual1"] = [args.text_individual1 or args.text] * B
+        batch["text_individual2"] = [args.text_individual2 or args.text] * B
+
+    cond = system.build_cond(params, batch)
+    out = np.asarray(system.sample(params, cond, args.window, rng))
+
+    from scipy.ndimage import gaussian_filter1d
+
+    out = gaussian_filter1d(out, sigma=1.0, axis=-2)
+    os.makedirs(args.out_dir, exist_ok=True)
+    np.save(os.path.join(args.out_dir, f"{args.name}_motion.npy"), out)
+    print(f"saved {out.shape} to {args.out_dir}/{args.name}_motion.npy")
+
+
+if __name__ == "__main__":
+    main()

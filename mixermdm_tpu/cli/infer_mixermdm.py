@@ -1,0 +1,119 @@
+"""MixerMDM inference CLI — mirrors the reference README entry point.
+
+Reference (``/root/reference/src/scripts/infer/mixermdm.py:146-188``, usage
+``README.md:46-56``): three text prompts -> N samples, 299-frame window,
+full DDIM chain, saves motion + influence arrays, gaussian-smooths the
+output, renders skeleton video + influence plot.
+
+Usage::
+
+    python -m mixermdm_tpu.cli.infer_mixermdm \
+        --model configs/models/MixerMDM.yaml \
+        --name out --text-interaction "..." --text-individual1 "..." \
+        --text-individual2 "..." [--num-samples 10] [--window 299]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_system(model_cfg_path: str | None, align: bool = True, tiny: bool = False):
+    import jax  # noqa: F401
+
+    from ..config import (
+        IN2IN_INDIVIDUAL_DEFAULT,
+        IN2IN_INTERACTION_DEFAULT,
+        MIXERMDM_DEFAULT,
+        get_config,
+    )
+    from ..models.clip_text import ClipTextConfig
+    from ..systems import In2INSystem, MixerMDMSystem
+
+    if tiny:
+        from bench import build_system as bench_build  # reuse tiny wiring
+
+        return bench_build(tiny=True)
+
+    cfg = get_config(model_cfg_path) if model_cfg_path else MIXERMDM_DEFAULT
+    clip_cfg = ClipTextConfig.vit_l_14()
+    cfg1 = get_config(cfg["MODEL1"]) if "MODEL1" in cfg else IN2IN_INDIVIDUAL_DEFAULT
+    cfg2 = get_config(cfg["MODEL2"]) if "MODEL2" in cfg else IN2IN_INTERACTION_DEFAULT
+    m1 = In2INSystem(cfg1, mode="individual", clip_cfg=clip_cfg)
+    m2 = In2INSystem(cfg2, mode="interaction", clip_cfg=clip_cfg)
+    return MixerMDMSystem(cfg, model1=m1, model2=m2, clip_cfg=clip_cfg, align=align)
+
+
+def gaussian_smooth(motion: np.ndarray, sigma: float = 1.0) -> np.ndarray:
+    """Temporal gaussian filter over frames (infer/mixermdm.py:132)."""
+    from scipy.ndimage import gaussian_filter1d
+
+    return gaussian_filter1d(motion, sigma=sigma, axis=-2)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="MixerMDM inference")
+    parser.add_argument("--model", type=str, default=None, help="model config yaml")
+    parser.add_argument("--name", type=str, required=True, help="output name")
+    parser.add_argument("--text-interaction", type=str, required=True)
+    parser.add_argument("--text-individual1", type=str, required=True)
+    parser.add_argument("--text-individual2", type=str, required=True)
+    parser.add_argument("--num-samples", type=int, default=10)
+    parser.add_argument("--window", type=int, default=299)
+    parser.add_argument("--out-dir", type=str, default="results")
+    parser.add_argument("--checkpoint", type=str, default=None, help="orbax checkpoint dir")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--no-align", action="store_true")
+    parser.add_argument("--tiny", action="store_true", help="tiny config smoke run")
+    parser.add_argument("--no-smooth", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    system = build_system(args.model, align=not args.no_align, tiny=args.tiny)
+    rng = jax.random.PRNGKey(args.seed)
+    rng, init_rng = jax.random.split(rng)
+    params = system.init_params(init_rng)
+    if args.checkpoint:
+        from ..train.checkpoint import restore_checkpoint
+
+        params = restore_checkpoint(args.checkpoint, params)
+
+    B = args.num_samples
+    window = args.window if not args.tiny else 16
+    batch = {
+        "text_interaction": [args.text_interaction] * B,
+        "text_individual1": [args.text_individual1] * B,
+        "text_individual2": [args.text_individual2] * B,
+        "motion_lens": np.asarray([window] * B),
+    }
+
+    out = system.forward(params, batch, rng)
+    motions = np.asarray(out["output"])
+    if not args.no_smooth:
+        motions = gaussian_smooth(motions)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    np.save(os.path.join(args.out_dir, f"{args.name}_motion.npy"), motions)
+    np.save(os.path.join(args.out_dir, f"{args.name}_influence_i1.npy"),
+            np.asarray(out["influence_i1"]))
+    np.save(os.path.join(args.out_dir, f"{args.name}_influence_i2.npy"),
+            np.asarray(out["influence_i2"]))
+    print(f"saved {B} samples of shape {motions.shape[1:]} to {args.out_dir}/")
+
+    try:
+        from ..utils.plot import plot_3d_motion
+
+        plot_3d_motion(
+            os.path.join(args.out_dir, f"{args.name}_sample0.mp4"),
+            motions[0], title=args.text_interaction,
+        )
+    except Exception as e:  # rendering is best-effort (no display/ffmpeg)
+        print(f"(skipped video render: {e})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Adversarial MixerMDM training CLI.
+
+Reference (``/root/reference/src/scripts/train/mixermdm.py:286-343``):
+Lightning harness with two AdamW optimizers, G step per batch + D step every
+``DISCRIMINATOR_STEPS``, grad-accum, 0.5 clipping, DDP/NCCL, wandb logging,
+epoch checkpoints.  Here: jitted train steps over a data mesh, metric
+logging via :mod:`mixermdm_tpu.utils.logging`, orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train MixerMDM (adversarial)")
+    parser.add_argument("--model", type=str, default=None, help="model config yaml")
+    parser.add_argument("--train", type=str, default=None, help="train config yaml")
+    parser.add_argument("--data-root", type=str, default="./data")
+    parser.add_argument("--out-dir", type=str, default="./checkpoints/mixermdm")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--tiny", action="store_true", help="tiny synthetic smoke run")
+    parser.add_argument("--max-steps", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from ..config import MIXERMDM_TRAIN_DEFAULT, get_config
+    from ..data import DataLoader, InterHumanDataset, make_interhuman_fixture
+    from ..parallel.mesh import make_mesh, replicate, shard_batch
+    from ..train.checkpoint import restore_checkpoint, save_checkpoint
+    from ..train.trainer import MixerTrainer
+    from ..utils.logging import MetricLogger
+    from .infer_mixermdm import build_system
+
+    tcfg = get_config(args.train) if args.train else MIXERMDM_TRAIN_DEFAULT
+    tr = tcfg.TRAIN
+    epochs = args.epochs or int(tr.EPOCH)
+    batch_size = args.batch_size or int(tr.BATCH_SIZE)
+
+    if args.tiny:
+        root = os.path.join(args.out_dir, "_synth")
+        make_interhuman_fixture(root, n_clips=3, n_frames=40)
+        args.data_root = root
+        epochs = 1
+        batch_size = 2
+        max_frames = 32
+    else:
+        max_frames = 300
+
+    system = build_system(args.model, tiny=args.tiny)
+    rng = jax.random.PRNGKey(args.seed)
+    rng, init_rng = jax.random.split(rng)
+    params = system.init_params(init_rng)
+    if args.resume:
+        params = restore_checkpoint(args.resume, params)
+
+    mesh = make_mesh()
+    trainer = MixerTrainer(
+        system,
+        lr=float(tr.LR),
+        weight_decay=float(tr.WEIGHT_DECAY),
+        grad_acc_steps=int(tr.GRAD_ACC_STEPS),
+        discriminator_steps=int(tr.DISCRIMINATOR_STEPS),
+        i_loss_factor=float(tr.INDIVIDUAL_LOSS_FACTOR),
+        I_loss_factor=float(tr.INTERACTION_LOSS_FACTOR),
+        l1=float(tr.LOSS_L1),
+        mesh=mesh,
+    )
+    state = trainer.init_state(params)
+    state = state._replace(params=replicate(state.params, mesh))
+
+    dataset = InterHumanDataset(args.data_root, mode="train", max_gt_length=max_frames)
+    if len(dataset) == 0:
+        raise SystemExit(f"no data found under {args.data_root}")
+    loader = DataLoader(dataset, batch_size=batch_size, seed=args.seed)
+    logger = MetricLogger(log_every=int(tr.LOG_STEPS))
+
+    step = 0
+    for epoch in range(epochs):
+        for batch_idx, batch in enumerate(loader):
+            toks = system.tokenize_batch(batch)
+            dev_batch = shard_batch(
+                {
+                    "motions": batch["motions"].astype(np.float32),
+                    "motion_lens": batch["motion_lens"],
+                    "tokens_inter": np.asarray(toks["tokens_inter"]),
+                    "tokens_i1": np.asarray(toks["tokens_i1"]),
+                    "tokens_i2": np.asarray(toks["tokens_i2"]),
+                },
+                mesh,
+            )
+            rng, step_rng = jax.random.split(rng)
+            state, g_losses, d_losses = trainer.fit_step(state, dev_batch, step_rng, batch_idx)
+            logger.log(step, epoch, {
+                "g_total": float(g_losses["total"]),
+                **({"d_total": float(d_losses["total"])} if d_losses else {}),
+            })
+            step += 1
+            if args.max_steps and step >= args.max_steps:
+                break
+        if args.max_steps and step >= args.max_steps:
+            break
+        if (epoch + 1) % int(tr.SAVE_EPOCH) == 0 or epoch == epochs - 1:
+            save_checkpoint(os.path.join(args.out_dir, f"epoch_{epoch+1}"), state.params)
+
+    save_checkpoint(os.path.join(args.out_dir, "final"), state.params)
+    print(f"training done: {step} steps, checkpoints in {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

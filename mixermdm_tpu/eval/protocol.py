@@ -1,0 +1,196 @@
+"""Evaluation protocol: matching score, R-precision, FID, diversity,
+multimodality, and the dual-dataset F-score.
+
+Parity source ``/root/reference/src/scripts/eval/mixermdm.py``:
+``evaluate_matching_score``:17-59, ``evaluate_fid``:62-79,
+``evaluate_diversity``:82-90, ``evaluate_multimodality``:93-114,
+``get_metric_statistics``:116, ``calculate_f_score``:216-241; constants
+:257-262.  Evaluator wrapper behaviours from ``evaluation/utils.py``:
+``EvaluatorModelWrapper``:126-235 (co-embeddings) and the Individual
+variant :237-383 (per-person centring + 2B interleave).
+
+TPU re-design: generation happens in *batches* through the jitted sampling
+chain (the reference loops the GT set at batch=1 calling ``forward_test``
+per item — evaluation/datasets.py:116); the metric kernels run on host numpy
+over stacked embedding arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import OrderedDict
+from typing import Callable, Dict, List
+
+import numpy as np
+
+from . import metrics as M
+from ..utils.alignment import center_motion, ih_to_smpl, smpl_to_ih
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalProtocol:
+    """The paper's eval constants (scripts/eval/mixermdm.py:257-262)."""
+
+    mm_num_samples: int = 50
+    mm_num_repeats: int = 15
+    mm_num_times: int = 5
+    diversity_times: int = 125
+    replication_times: int = 2
+    num_samples: int = 250
+    batch_size_interhuman: int = 96
+    batch_size_hml3d: int = 32
+    top_k: int = 3
+
+
+class EvaluatorWrapper:
+    """Co-embedding provider over an InterCLIP system (utils.py:126-235)."""
+
+    def __init__(self, interclip, params):
+        self.model = interclip
+        self.params = params
+
+    def get_co_embeddings(self, texts: List[str], motions, motion_lens):
+        text_emb = self.model.encode_text(self.params, texts)
+        motion_emb = self.model.encode_motion(self.params, motions, motion_lens)
+        return np.asarray(text_emb), np.asarray(motion_emb)
+
+    def get_motion_embeddings(self, motions, motion_lens):
+        return np.asarray(self.model.encode_motion(self.params, motions, motion_lens))
+
+
+class EvaluatorWrapperIndividual(EvaluatorWrapper):
+    """Single-person evaluator: centres each person and interleaves persons
+    into a 2B batch (utils.py:237-383, centring at :287-288)."""
+
+    def _split_persons(self, motions, motion_lens):
+        import jax.numpy as jnp
+
+        B, T, D = motions.shape
+        F = D // 2
+        persons = jnp.stack([motions[..., :F], motions[..., F:]], axis=1).reshape(
+            2 * B, T, F
+        )
+        persons = smpl_to_ih(center_motion(ih_to_smpl(persons)))
+        lens = jnp.repeat(jnp.asarray(motion_lens), 2)
+        return persons, lens
+
+    def get_co_embeddings(self, texts: List[str], motions, motion_lens):
+        persons, lens = self._split_persons(motions, motion_lens)
+        # texts interleave per person: [t1_a, t1_b, t2_a, ...]
+        text_emb = self.model.encode_text(self.params, texts)
+        motion_emb = self.model.encode_motion(self.params, persons, lens)
+        return np.asarray(text_emb), np.asarray(motion_emb)
+
+    def get_motion_embeddings(self, motions, motion_lens):
+        persons, lens = self._split_persons(motions, motion_lens)
+        return np.asarray(self.model.encode_motion(self.params, persons, lens))
+
+
+def evaluate_matching_score(
+    motion_sets: Dict[str, list], wrapper: EvaluatorWrapper, top_k: int = 3
+):
+    """MM-distance + R-precision per generator (eval/mixermdm.py:17-59).
+
+    ``motion_sets[name]`` is a list of batches ``(texts, motions, lens)``.
+    """
+    match_score, r_precision, activations = OrderedDict(), OrderedDict(), OrderedDict()
+    for name, batches in motion_sets.items():
+        embs, mm_sum, topk_count, total = [], 0.0, np.zeros(top_k), 0
+        for texts, motions, lens in batches:
+            t_emb, m_emb = wrapper.get_co_embeddings(texts, motions, lens)
+            dist = M.euclidean_distance_matrix(t_emb, m_emb)
+            mm_sum += dist.trace()
+            topk_count += M.calculate_top_k(np.argsort(dist, axis=1), top_k).sum(axis=0)
+            total += t_emb.shape[0]
+            embs.append(m_emb)
+        match_score[name] = mm_sum / total
+        r_precision[name] = topk_count / total
+        activations[name] = np.concatenate(embs, axis=0)
+    return match_score, r_precision, activations
+
+
+def evaluate_fid(gt_batches: list, activations: Dict[str, np.ndarray], wrapper):
+    """FID vs ground-truth activations (eval/mixermdm.py:62-79)."""
+    gt_embs = np.concatenate(
+        [wrapper.get_motion_embeddings(m, l) for _, m, l in gt_batches], axis=0
+    )
+    gt_mu, gt_cov = M.calculate_activation_statistics(gt_embs)
+    out = OrderedDict()
+    for name, acts in activations.items():
+        mu, cov = M.calculate_activation_statistics(acts)
+        out[name] = M.calculate_frechet_distance(gt_mu, gt_cov, mu, cov)
+    return out
+
+
+def evaluate_diversity(activations: Dict[str, np.ndarray], diversity_times: int, seed=None):
+    return OrderedDict(
+        (name, M.calculate_diversity(acts, diversity_times, seed))
+        for name, acts in activations.items()
+    )
+
+
+def evaluate_multimodality(
+    mm_sets: Dict[str, list], wrapper: EvaluatorWrapper, mm_num_times: int, seed=None
+):
+    """Multimodality over per-prompt replica sets (eval/mixermdm.py:93-114).
+
+    ``mm_sets[name]`` is a list of ``(motions, lens)`` where motions is
+    (R, T, D) — R replicas of one prompt.
+    """
+    out = OrderedDict()
+    for name, replicas in mm_sets.items():
+        if not replicas:
+            out[name] = 0.0
+            continue
+        embs = np.stack(
+            [wrapper.get_motion_embeddings(m, l) for m, l in replicas], axis=0
+        )
+        out[name] = M.calculate_multimodality(embs, mm_num_times, seed)
+    return out
+
+
+def get_metric_statistics(values: np.ndarray, replication_times: int):
+    mean = np.mean(values, axis=0)
+    std = np.std(values, axis=0)
+    conf = 1.96 * std / np.sqrt(replication_times)
+    return mean, conf
+
+
+def calculate_f_score(metrics_interaction: dict, metrics_individual: dict,
+                      replication_times: int = 2) -> dict:
+    """Harmonic mean of the two datasets' metrics (eval/mixermdm.py:216-241)."""
+    out = {}
+    for metric_name in metrics_interaction:
+        md_i = metrics_interaction[metric_name]
+        md_h = metrics_individual.get(metric_name, {})
+        out[metric_name] = {}
+        for (name_i, vals_i), (name_h, vals_h) in zip(md_i.items(), md_h.items()):
+            mean_i, ci_i = get_metric_statistics(np.asarray(vals_i), replication_times)
+            mean_h, ci_h = get_metric_statistics(np.asarray(vals_h), replication_times)
+            f = 2 * mean_i * mean_h / (mean_i + mean_h)
+            out[metric_name][name_i] = (f, (ci_i + ci_h) / 2)
+    return out
+
+
+def generate_eval_set(
+    sample_fn: Callable, dataset, batch_size: int, num_samples: int, rng
+) -> list:
+    """Batched generation over a GT set -> list of (texts, motions, lens).
+
+    Replaces the reference's batch=1 generation loop
+    (evaluation/datasets.py:71-159) with full-batch jitted sampling.
+    """
+    import jax
+
+    batches = []
+    n = min(num_samples, len(dataset))
+    for start in range(0, n, batch_size):
+        idx = list(range(start, min(start + batch_size, n)))
+        items = [dataset[i] for i in idx]
+        from ..data.loader import collate
+
+        batch = collate(items)
+        rng, step = jax.random.split(rng)
+        motions = sample_fn(batch, step)
+        batches.append((batch["text"], motions, batch["motion_lens"]))
+    return batches

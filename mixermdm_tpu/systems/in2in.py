@@ -91,7 +91,15 @@ class In2INSystem:
         self._jit_sample = {}
 
     # ------------------------------------------------------------------ params
-    def init_params(self, rng: jax.Array) -> dict:
+    def init_params(self, rng):
+        """Initialise all params as ONE jitted program (eager init is
+        hundreds of per-op dispatches — pathological over a device tunnel)."""
+        import jax as _jax
+        if not hasattr(self, "_jit_init"):
+            self._jit_init = _jax.jit(self._init_params_impl)
+        return self._jit_init(rng)
+
+    def _init_params_impl(self, rng: jax.Array) -> dict:
         rngs = jax.random.split(rng, 1 + len(self.denoisers))
         params = {"text": self.text.init_params(rngs[0])}
         T0, td = 8, self.text_dim

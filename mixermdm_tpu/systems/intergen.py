@@ -51,6 +51,14 @@ class InterGenSystem:
         self._jit_sample = {}
 
     def init_params(self, rng):
+        """Initialise all params as ONE jitted program (eager init is
+        hundreds of per-op dispatches — pathological over a device tunnel)."""
+        import jax as _jax
+        if not hasattr(self, "_jit_init"):
+            self._jit_init = _jax.jit(self._init_params_impl)
+        return self._jit_init(rng)
+
+    def _init_params_impl(self, rng):
         r1, r2 = jax.random.split(rng)
         params = {"text": self.text.init_params(r1)}
         x = jnp.zeros((1, 8, 2 * self.nfeats))

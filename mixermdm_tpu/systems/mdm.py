@@ -55,6 +55,14 @@ class MDMSystem:
         self._jit_sample = {}
 
     def init_params(self, rng):
+        """Initialise all params as ONE jitted program (eager init is
+        hundreds of per-op dispatches — pathological over a device tunnel)."""
+        import jax as _jax
+        if not hasattr(self, "_jit_init"):
+            self._jit_init = _jax.jit(self._init_params_impl)
+        return self._jit_init(rng)
+
+    def _init_params_impl(self, rng):
         r1, r2, r3 = jax.random.split(rng, 3)
         tokens = jnp.zeros((1, self.clip_cfg.context_length), jnp.int32)
         clip_params = self.clip.init(r1, tokens)["params"]
@@ -65,6 +73,14 @@ class MDMSystem:
             r3, x, jnp.zeros((1,), jnp.int32), None, jnp.zeros((1, int(self.cfg.LATENT_DIM)))
         )["params"]
         return {"clip": clip_params, "embed_text": embed_params, "denoiser": dn_params}
+
+    def encode_cond_tokens(self, params, batch_tokens: dict):
+        """Jittable cond from pre-tokenised text (key ``tokens``, already in
+        the 22-context/77-pad layout)."""
+        feats = jax.lax.stop_gradient(
+            self.clip.apply({"params": params["clip"]}, batch_tokens["tokens"])
+        ).astype(jnp.float32)
+        return self.embed_text.apply({"params": params["embed_text"]}, feats)
 
     def text_process(self, params, texts):
         """22-token context zero-padded to 77, encode_text, project to latent."""

@@ -122,7 +122,15 @@ class MixerMDMSystem:
         self._jit_loss = {}
 
     # ------------------------------------------------------------------ params
-    def init_params(self, rng) -> dict:
+    def init_params(self, rng):
+        """Initialise all params as ONE jitted program (eager init is
+        hundreds of per-op dispatches — pathological over a device tunnel)."""
+        import jax as _jax
+        if not hasattr(self, "_jit_init"):
+            self._jit_init = _jax.jit(self._init_params_impl)
+        return self._jit_init(rng)
+
+    def _init_params_impl(self, rng) -> dict:
         r = jax.random.split(rng, 6)
         T0, F = 8, self.nfeats
         params = {

@@ -1,0 +1,93 @@
+"""Data-layer tests over synthetic fixtures in the reference layouts."""
+
+import numpy as np
+import pytest
+
+from mixermdm_tpu.data import (
+    DataLoader,
+    HumanML3DDataset,
+    InterHumanDataset,
+    collate,
+    make_hml3d_fixture,
+    make_interhuman_fixture,
+)
+
+
+@pytest.fixture(scope="module")
+def ih_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("interhuman")
+    make_interhuman_fixture(str(root), n_clips=3, n_frames=40)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def hml_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("hml3d")
+    make_hml3d_fixture(str(root), n_clips=3, n_frames=40)
+    return str(root)
+
+
+class TestInterHuman:
+    def test_train_has_mirrored_copies(self, ih_root):
+        ds = InterHumanDataset(ih_root, mode="train", max_gt_length=32)
+        assert len(ds) == 6  # 3 clips x (orig + swap)
+        names = [it["name"] for it in ds.items]
+        assert any(n.endswith("_swap") for n in names)
+
+    def test_item_contract(self, ih_root):
+        ds = InterHumanDataset(ih_root, mode="train", max_gt_length=32)
+        item = ds[0]
+        assert item["motion1"].shape == (32, 262)
+        assert item["motion2"].shape == (32, 262)
+        assert 0 < item["motion_lens"] <= 32
+        assert isinstance(item["text"], str) and item["text"]
+        assert "text_individual1" in item
+        # Padding zeros after the length.
+        L = item["motion_lens"]
+        if L < 32:
+            np.testing.assert_allclose(item["motion1"][L:], 0.0)
+
+    def test_canonicalisation(self, ih_root):
+        """Person 1 starts at origin facing Z+ after processing."""
+        ds = InterHumanDataset(ih_root, mode="test", max_gt_length=32)
+        item = ds[0]
+        root0 = item["motion1"][0, :3]
+        assert abs(root0[0]) < 1e-4 and abs(root0[2]) < 1e-4
+
+    def test_test_split_no_swap(self, ih_root):
+        ds = InterHumanDataset(ih_root, mode="test", max_gt_length=32)
+        assert all(not it["name"].endswith("_swap") for it in ds.items)
+
+
+class TestHML3D:
+    def test_item_contract(self, hml_root):
+        ds = HumanML3DDataset(hml_root, mode="train", max_gt_length=32)
+        assert len(ds) == 3
+        item = ds[0]
+        assert item["motion1"].shape == (32, 262)
+        assert "#" not in item["text"]
+
+    def test_extended_duplicates(self, hml_root):
+        ds = HumanML3DDataset(hml_root, mode="train", extended=True, max_gt_length=32)
+        item = ds[0]
+        np.testing.assert_array_equal(item["motion1"], item["motion2"])
+        assert item["text_individual1"] == item["text"]
+
+
+class TestLoader:
+    def test_batching_static_shapes(self, ih_root):
+        ds = InterHumanDataset(ih_root, mode="train", max_gt_length=32)
+        dl = DataLoader(ds, batch_size=2, seed=1)
+        batches = list(dl)
+        assert len(batches) == len(ds) // 2
+        b = batches[0]
+        assert b["motions"].shape == (2, 32, 524)
+        assert len(b["text"]) == 2
+        assert b["motion_lens"].shape == (2,)
+
+    def test_epochs_reshuffle(self, ih_root):
+        ds = InterHumanDataset(ih_root, mode="train", max_gt_length=32)
+        dl = DataLoader(ds, batch_size=2, seed=1)
+        names1 = [tuple(b["name"]) for b in dl]
+        names2 = [tuple(b["name"]) for b in dl]
+        assert names1 != names2  # different epoch order (overwhelmingly likely)
