@@ -100,7 +100,11 @@ def evaluate_matching_score(
             t_emb, m_emb = wrapper.get_co_embeddings(texts, motions, lens)
             dist = M.euclidean_distance_matrix(t_emb, m_emb)
             mm_sum += dist.trace()
-            topk_count += M.calculate_top_k(np.argsort(dist, axis=1), top_k).sum(axis=0)
+            k = min(top_k, dist.shape[1])
+            hits = M.calculate_top_k(np.argsort(dist, axis=1), k).sum(axis=0)
+            topk_count[:k] += hits
+            if k < top_k:  # a batch narrower than k: wider top-k saturates
+                topk_count[k:] += hits[-1]
             total += t_emb.shape[0]
             embs.append(m_emb)
         match_score[name] = mm_sum / total

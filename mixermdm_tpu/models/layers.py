@@ -29,6 +29,23 @@ import jax.numpy as jnp
 import flax.linen as nn
 from jax.nn import silu
 
+# Pallas fused-attention dispatch: None = auto (on for TPU backends),
+# True/False to force.  Set via ``set_pallas_attention``.
+_PALLAS_ATTENTION: Optional[bool] = None
+
+
+def set_pallas_attention(enabled: Optional[bool]) -> None:
+    global _PALLAS_ATTENTION
+    _PALLAS_ATTENTION = enabled
+
+
+def use_pallas_attention() -> bool:
+    if _PALLAS_ATTENTION is not None:
+        return _PALLAS_ATTENTION
+    import jax
+
+    return jax.default_backend() == "tpu"
+
 
 def lecun_or_torch_linear_init():
     """torch ``nn.Linear`` default init: U(-1/sqrt(fan_in), +1/sqrt(fan_in))."""
@@ -125,6 +142,20 @@ class TorchMultiheadAttention(nn.Module):
         q = TorchLinear(E, name="q_proj")(query)
         k = TorchLinear(E, name="k_proj")(key)
         v = TorchLinear(E, name="v_proj")(value)
+
+        if use_pallas_attention():
+            # Fused VMEM kernel; zero-attn is handled algebraically inside
+            # (extra exp(-row_max) denominator term), no K/V concat needed.
+            from ..ops.attention import fused_attention
+
+            qh = q.reshape(B, Tq, H, head_dim).transpose(0, 2, 1, 3)
+            kh = k.reshape(B, Tk, H, head_dim).transpose(0, 2, 1, 3)
+            vh = v.reshape(B, Tk, H, head_dim).transpose(0, 2, 1, 3)
+            out = fused_attention(
+                qh, kh, vh, key_padding_mask, attn_mask, zero_attn=self.add_zero_attn
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, Tq, E)
+            return TorchLinear(E, name="out_proj")(out)
 
         if self.add_zero_attn:
             # Append an always-attendable zero key/value token.

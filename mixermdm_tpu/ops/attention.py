@@ -1,0 +1,158 @@
+"""Pallas TPU kernel: fused multi-head attention with zero-attn semantics.
+
+The hot path of every denoiser layer (SURVEY.md §3.1: ~8 layers x 3
+attention ops per DDIM step, T<=300).  The reference relies on torch
+``nn.MultiheadAttention`` CUDA kernels; here one Pallas program per
+(batch, head) computes ``softmax(QK^T * scale + mask) V`` entirely in VMEM:
+both matmuls hit the MXU, the softmax stays on the VPU, and Q/K/V make a
+single HBM round trip instead of materialising logits/probabilities in HBM.
+
+``add_zero_attn`` (torch appends an always-attendable zero K/V token —
+layers.py:33-44 in the reference) is implemented *algebraically*: the zero
+token contributes ``exp(0 - row_max)`` to the softmax denominator and
+nothing to the numerator, so the kernel just adds that term — no concat, no
+extra memory.
+
+Sequence lengths here are small (<=300 frames), so a single-block design
+(whole T x T logits in VMEM, padded to lane multiples) beats a flash-style
+K-loop: at T=384 the biggest buffer is 384x384 f32 = 576 KiB, far under the
+~16 MiB VMEM budget, and there is no loop overhead.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, zero_attn, tq, tk):
+    q = q_ref[0].astype(jnp.float32)          # (Tq_pad, D_pad)
+    k = k_ref[0].astype(jnp.float32)          # (Tk_pad, D_pad)
+    v = v_ref[0].astype(jnp.float32)
+
+    logits = jax.lax.dot_general(
+        q * scale, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits + bias_ref[0]             # padding/causal mask as additive bias
+
+    row_max = jnp.max(logits, axis=-1, keepdims=True)
+    if zero_attn:
+        # The implicit zero token's logit is 0; it participates in the max.
+        row_max = jnp.maximum(row_max, 0.0)
+    p = jnp.exp(logits - row_max)
+    denom = p.sum(axis=-1, keepdims=True)
+    if zero_attn:
+        denom = denom + jnp.exp(-row_max)     # exp(0 - row_max) * 1
+    p = p / denom
+
+    out = jax.lax.dot_general(
+        p, v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("zero_attn", "interpret")
+)
+def fused_attention(
+    q: jnp.ndarray,                 # (B, H, Tq, D)
+    k: jnp.ndarray,                 # (B, H, Tk, D)
+    v: jnp.ndarray,                 # (B, H, Tk, D)
+    key_padding_mask=None,          # (B, Tk) bool, True = masked
+    attn_mask=None,                 # (Tq, Tk) additive float mask
+    zero_attn: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, H, Tq, D = q.shape
+    Tk = k.shape[2]
+    scale = 1.0 / (D**0.5)
+
+    # Pad to TPU lane/sublane multiples; padded keys are masked off, padded
+    # head dims are zeros (contribute nothing to q.k or the output slice).
+    Tq_p = _round_up(max(Tq, 8), 8)
+    Tk_p = _round_up(max(Tk, 128), 128)
+    D_p = _round_up(max(D, 128), 128)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, Tq_p - Tq), (0, D_p - D)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Tk_p - Tk), (0, D_p - D)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Tk_p - Tk), (0, D_p - D)))
+
+    # Build the additive bias (B, Tq_p, Tk_p): -inf on padded/masked keys.
+    key_valid = jnp.arange(Tk_p) < Tk
+    bias = jnp.where(key_valid[None, None, :], 0.0, NEG_INF)
+    bias = jnp.broadcast_to(bias, (B, 1, Tk_p)).astype(jnp.float32)
+    if key_padding_mask is not None:
+        kpm = jnp.pad(key_padding_mask, ((0, 0), (0, Tk_p - Tk)), constant_values=True)
+        bias = jnp.where(kpm[:, None, :], NEG_INF, bias)
+    bias = jnp.broadcast_to(bias, (B, Tq_p, Tk_p))
+    if attn_mask is not None:
+        am = jnp.pad(
+            attn_mask.astype(jnp.float32),
+            ((0, Tq_p - Tq), (0, Tk_p - Tk)),
+            constant_values=0.0,
+        )
+        bias = bias + am[None]
+
+    bh = B * H
+    q2 = qp.reshape(bh, Tq_p, D_p)
+    k2 = kp.reshape(bh, Tk_p, D_p)
+    v2 = vp.reshape(bh, Tk_p, D_p)
+    bias2 = jnp.repeat(bias, H, axis=0)  # (B*H, Tq_p, Tk_p)
+
+    kernel = functools.partial(
+        _attn_kernel, scale=scale, zero_attn=zero_attn, tq=Tq_p, tk=Tk_p
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, Tq_p, D_p), q.dtype),
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, Tq_p, D_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tk_p, D_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tk_p, D_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tq_p, Tk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Tq_p, D_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * Tq_p * Tk_p * D_p * 2,
+            bytes_accessed=4 * bh * (Tq_p * D_p * 2 + Tk_p * D_p * 2 + Tq_p * Tk_p),
+            transcendentals=bh * Tq_p * Tk_p,
+        ),
+        interpret=interpret,
+    )(q2, k2, v2, bias2)
+
+    return out.reshape(B, H, Tq_p, D_p)[:, :, :Tq, :D]
+
+
+def reference_attention(q, k, v, key_padding_mask=None, attn_mask=None, zero_attn=True):
+    """Pure-XLA reference implementation (same math, for tests/fallback)."""
+    B, H, Tq, D = q.shape
+    scale = 1.0 / (D**0.5)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+    if key_padding_mask is not None:
+        logits = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, logits)
+    if attn_mask is not None:
+        logits = logits + attn_mask[None, None]
+    if zero_attn:
+        zeros = jnp.zeros(logits.shape[:-1] + (1,), logits.dtype)
+        logits = jnp.concatenate([logits, zeros], axis=-1)
+        p = jax.nn.softmax(logits, axis=-1)[..., :-1]
+    else:
+        p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)

@@ -58,7 +58,12 @@ def plot_3d_motion(save_path: str, motion: np.ndarray, title: str = "",
                           linewidth=2.0, color=colors[ci % len(colors)])
 
     anim = FuncAnimation(fig, update, frames=T, interval=1000 / fps)
-    anim.save(save_path, fps=fps)
+    try:
+        anim.save(save_path, fps=fps)
+    except (ValueError, RuntimeError):
+        # No ffmpeg: fall back to an animated gif via Pillow.
+        save_path = save_path.rsplit(".", 1)[0] + ".gif"
+        anim.save(save_path, fps=fps, writer="pillow")
     plt.close(fig)
     return save_path
 

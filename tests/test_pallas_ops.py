@@ -1,0 +1,64 @@
+"""Pallas kernel tests (interpret mode on the CPU backend)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mixermdm_tpu.ops.attention import fused_attention, reference_attention
+
+B, H, T, D = 2, 3, 20, 16
+
+
+def rand(key, shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+class TestFusedAttention:
+    @pytest.mark.parametrize("zero_attn", [True, False])
+    def test_matches_reference(self, zero_attn):
+        q, k, v = rand(0, (B, H, T, D)), rand(1, (B, H, T, D)), rand(2, (B, H, T, D))
+        want = reference_attention(q, k, v, zero_attn=zero_attn)
+        got = fused_attention(q, k, v, zero_attn=zero_attn, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_key_padding(self):
+        q, k, v = rand(3, (B, H, T, D)), rand(4, (B, H, T, D)), rand(5, (B, H, T, D))
+        kpm = jnp.zeros((B, T), bool).at[:, -7:].set(True)
+        want = reference_attention(q, k, v, key_padding_mask=kpm)
+        got = fused_attention(q, k, v, key_padding_mask=kpm, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_fully_masked_rows_finite(self):
+        """With zero_attn, fully-masked rows attend only the zero token."""
+        q, k, v = rand(6, (1, 1, 8, D)), rand(7, (1, 1, 8, D)), rand(8, (1, 1, 8, D))
+        kpm = jnp.ones((1, 8), bool)
+        got = fused_attention(q, k, v, key_padding_mask=kpm, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-6)
+
+    def test_causal_mask(self):
+        causal = jnp.triu(jnp.full((T, T), -jnp.inf), k=1)
+        q, k, v = rand(9, (B, H, T, D)), rand(10, (B, H, T, D)), rand(11, (B, H, T, D))
+        want = reference_attention(q, k, v, attn_mask=causal, zero_attn=False)
+        got = fused_attention(q, k, v, attn_mask=causal, zero_attn=False, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_cross_lengths(self):
+        Tk = 9
+        q = rand(12, (B, H, T, D))
+        k, v = rand(13, (B, H, Tk, D)), rand(14, (B, H, Tk, D))
+        want = reference_attention(q, k, v)
+        got = fused_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_reference_matches_torch_zero_attn_math(self):
+        """The reference XLA impl (zero-logit softmax) equals explicit
+        zero-token concatenation."""
+        q, k, v = rand(15, (B, H, T, D)), rand(16, (B, H, T, D)), rand(17, (B, H, T, D))
+        k2 = jnp.concatenate([k, jnp.zeros((B, H, 1, D))], axis=2)
+        v2 = jnp.concatenate([v, jnp.zeros((B, H, 1, D))], axis=2)
+        scale = 1.0 / (D**0.5)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k2)
+        want = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), v2)
+        got = reference_attention(q, k, v, zero_attn=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
