@@ -1,0 +1,189 @@
+"""Generation-time evaluation datasets.
+
+Parity source ``/root/reference/src/evaluation/datasets.py``:
+``EvaluationDatasetInterHuman``:17-184 (pre-generates model outputs over the
+GT test set, with optional LLM decomposition of interaction texts into
+individual texts), ``MMGeneratedDatasetInterHuman``:187-224 (multimodality
+replicas), ``EvaluationDatasetDualMDM``:228-382 (interaction texts crossed
+with random HumanML3D individual texts; toggles ``force_influence_val`` to
+compare base vs composed models), plus the HumanML3D twins :385-546.
+
+TPU re-design: generation is *batched* through the jitted sampling chain
+(the reference loops the GT set at batch=1 — datasets.py:116); the LLM text
+decomposition is an injectable callable (the reference hardcodes
+langchain + OpenAI gpt-4o-mini, :32-96 — unavailable offline, so the default
+decomposer is the identity "both persons do the interaction" fallback).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import numpy as np
+
+
+def default_text_decomposer(interaction_texts: List[str]):
+    """Fallback for the reference's LLM splitter: reuse the interaction text
+    for both persons (what the non-LLM reference path does implicitly)."""
+    return list(interaction_texts), list(interaction_texts)
+
+
+class EvaluationDatasetInterHuman:
+    """Generated-motion dataset over the InterHuman GT test set.
+
+    ``system`` must expose ``generate_cond(params, batch)`` and
+    ``sample(params, cond, n_frames, rng)``; generation runs in batches.
+    """
+
+    def __init__(
+        self,
+        system,
+        params,
+        gt_dataset,
+        rng,
+        num_samples: int = 250,
+        batch_size: int = 32,
+        max_frames: int = 300,
+        text_decomposer: Optional[Callable] = None,
+        force_influence_val: Optional[float] = None,
+    ):
+        import jax
+
+        from ..data.loader import collate
+
+        self.items: list = []
+        n = min(num_samples, len(gt_dataset))
+        decomposer = text_decomposer
+
+        for start in range(0, n, batch_size):
+            idx = range(start, min(start + batch_size, n))
+            samples = [gt_dataset[i] for i in idx]
+            batch = collate(samples)
+            if decomposer is not None:
+                t1, t2 = decomposer(batch["text"])
+                batch["text_individual1"], batch["text_individual2"] = t1, t2
+            elif "text_individual1" not in batch:
+                t1, t2 = default_text_decomposer(batch["text"])
+                batch["text_individual1"], batch["text_individual2"] = t1, t2
+
+            rng, step = jax.random.split(rng)
+            T = int(np.max(batch["motion_lens"]))
+            cond = system.generate_cond(params, batch)
+            old_fiv = getattr(system, "force_influence_val", None)
+            if force_influence_val is not None:
+                system.force_influence_val = force_influence_val
+            motions = np.asarray(system.sample(params, cond, T, step))
+            if force_influence_val is not None:
+                system.force_influence_val = old_fiv
+
+            pad = max_frames - T
+            if pad > 0:
+                motions = np.pad(motions, ((0, 0), (0, pad), (0, 0)))
+            for j, s in enumerate(samples):
+                self.items.append(
+                    {
+                        "name": s["name"],
+                        "text": s["text"],
+                        "motions": motions[j],
+                        "motion_lens": int(min(s["motion_lens"], T)),
+                    }
+                )
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+    def batches(self, batch_size: int):
+        """Yield (texts, motions, lens) tuples for the metric drivers."""
+        for start in range(0, len(self.items), batch_size):
+            chunk = self.items[start : start + batch_size]
+            yield (
+                [c["text"] for c in chunk],
+                np.stack([c["motions"] for c in chunk]),
+                np.asarray([c["motion_lens"] for c in chunk]),
+            )
+
+
+class MMGeneratedDataset:
+    """Per-prompt replica sets for multimodality (datasets.py:187-224).
+
+    For ``mm_num_samples`` prompts, generates ``mm_num_repeats`` samples each
+    — all replicas of one prompt in ONE batched call.
+    """
+
+    def __init__(
+        self,
+        system,
+        params,
+        gt_dataset,
+        rng,
+        mm_num_samples: int = 50,
+        mm_num_repeats: int = 15,
+        max_frames: int = 300,
+    ):
+        import jax
+
+        from ..data.loader import collate
+
+        self.replica_sets: list = []
+        picks = np.random.default_rng(0).choice(
+            len(gt_dataset), min(mm_num_samples, len(gt_dataset)), replace=False
+        )
+        for i in picks:
+            s = gt_dataset[int(i)]
+            batch = collate([s] * mm_num_repeats)
+            if "text_individual1" not in batch:
+                t1, t2 = default_text_decomposer(batch["text"])
+                batch["text_individual1"], batch["text_individual2"] = t1, t2
+            rng, step = jax.random.split(rng)
+            T = int(s["motion_lens"])
+            cond = system.generate_cond(params, batch)
+            motions = np.asarray(system.sample(params, cond, T, step))
+            pad = max_frames - T
+            if pad > 0:
+                motions = np.pad(motions, ((0, 0), (0, pad), (0, 0)))
+            self.replica_sets.append(
+                (motions, np.asarray([T] * mm_num_repeats))
+            )
+
+    def __len__(self):
+        return len(self.replica_sets)
+
+    def __getitem__(self, i):
+        return self.replica_sets[i]
+
+
+class EvaluationDatasetDualMDM(EvaluationDatasetInterHuman):
+    """Cross-dataset composition eval (datasets.py:228-382): InterHuman
+    interaction texts paired with *random HumanML3D individual texts*, with
+    ``force_influence_val`` sweeps to compare base vs composed behaviour."""
+
+    def __init__(
+        self,
+        system,
+        params,
+        gt_dataset,
+        hml3d_dataset,
+        rng,
+        force_influence_val: Optional[float] = None,
+        seed: int = 0,
+        **kwargs,
+    ):
+        picker = np.random.default_rng(seed)
+
+        def cross_decomposer(texts):
+            n = len(texts)
+            idx1 = picker.integers(0, len(hml3d_dataset), n)
+            idx2 = picker.integers(0, len(hml3d_dataset), n)
+            t1 = [hml3d_dataset[int(i)]["text"] for i in idx1]
+            t2 = [hml3d_dataset[int(i)]["text"] for i in idx2]
+            return t1, t2
+
+        super().__init__(
+            system, params, gt_dataset, rng,
+            text_decomposer=cross_decomposer,
+            force_influence_val=force_influence_val,
+            **kwargs,
+        )

@@ -98,10 +98,12 @@ class ZeroLinear(nn.Module):
 
 
 def layer_norm(x, eps: float = 1e-5):
-    """Affine-free LayerNorm over the last axis."""
-    mean = x.mean(axis=-1, keepdims=True)
-    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
-    return (x - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+    """Affine-free LayerNorm over the last axis (f32 statistics, so the
+    bf16 compute path keeps full normalisation precision)."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    return ((xf - mean) * jnp.reciprocal(jnp.sqrt(var + eps))).astype(x.dtype)
 
 
 class AdaLN(nn.Module):
@@ -113,7 +115,7 @@ class AdaLN(nn.Module):
     def __call__(self, h, emb):
         # emb: (B, E) -> scale/shift (B, 2*latent); zero-init => identity at init.
         emb_out = ZeroLinear(2 * self.latent_dim, name="emb_proj")(silu(emb))
-        scale, shift = jnp.split(emb_out, 2, axis=-1)
+        scale, shift = jnp.split(emb_out.astype(h.dtype), 2, axis=-1)
         return layer_norm(h, eps=1e-6) * (1.0 + scale[:, None]) + shift[:, None]
 
 

@@ -133,6 +133,7 @@ def make_mixer_forward(
     core_apply: Callable,        # (params, ...) -> (infl1, infl2)
     normalizer1: Normalizer,
     normalizer2: Normalizer,
+    compute_dtype=None,
 ):
     """Build the full per-step Mixer pipeline as a pure function.
 
@@ -159,12 +160,25 @@ def make_mixer_forward(
         cond_i2 = cond[:, sl["cond_i2"][0] : sl["cond_i2"][1]]
 
         # --- frozen denoisers; the two person calls of denoiser1 batched ---
+        # bf16 compute for the transformer stacks (MXU-native); the diffusion
+        # arithmetic and the quaternion alignment stay f32.
         x1_both = jnp.concatenate([x1_i1, x1_i2], axis=0)
         cond1_both = jnp.concatenate([cond1_1, cond1_2], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
         mask2 = None if mask is None else jnp.concatenate([mask, mask], axis=0)
-        out1_both = denoiser1_apply(params["denoiser1"], x1_both, t2, mask2, cond1_both)
-        out2 = denoiser2_apply(params["denoiser2"], x2, t, mask, cond2)
+        if compute_dtype is not None:
+            x1_both = x1_both.astype(compute_dtype)
+            cond1_both = cond1_both.astype(compute_dtype)
+            x2_in = x2.astype(compute_dtype)
+            cond2_in = cond2.astype(compute_dtype)
+        else:
+            x2_in, cond2_in = x2, cond2
+        out1_both = denoiser1_apply(
+            params["denoiser1"], x1_both, t2, mask2, cond1_both
+        ).astype(jnp.float32)
+        out2 = denoiser2_apply(
+            params["denoiser2"], x2_in, t, mask, cond2_in
+        ).astype(jnp.float32)
 
         # --- denormalise to raw motion space (mixermdm.py:691-694) ---
         out1_both = normalizer1.backward(out1_both)
@@ -189,10 +203,19 @@ def make_mixer_forward(
         out2 = jnp.concatenate([out2_1, out2_2], axis=-1)
 
         # --- influence prediction ---
-        infl1, infl2 = core_apply(
-            params["core"], out1_1, out1_2, out2_1, out2_2, t,
-            cond_I, cond_i1, cond_i2, mask,
-        )
+        if compute_dtype is not None:
+            cd = lambda a: a.astype(compute_dtype)
+            infl1, infl2 = core_apply(
+                params["core"], cd(out1_1), cd(out1_2), cd(out2_1), cd(out2_2), t,
+                cd(cond_I), cd(cond_i1), cd(cond_i2), mask,
+            )
+            infl1 = infl1.astype(jnp.float32)
+            infl2 = infl2.astype(jnp.float32)
+        else:
+            infl1, infl2 = core_apply(
+                params["core"], out1_1, out1_2, out2_1, out2_2, t,
+                cond_I, cond_i1, cond_i2, mask,
+            )
 
         if force_influence_val is not None:
             infl1 = jnp.full_like(infl1, force_influence_val)

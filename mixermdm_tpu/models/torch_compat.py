@@ -29,10 +29,11 @@ class LayerNormAffine(nn.Module):
     def __call__(self, x):
         scale = self.param("scale", nn.initializers.ones, (self.dim,))
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
-        mean = x.mean(axis=-1, keepdims=True)
-        var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
-        y = (x - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps))
-        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+        xf = x.astype(jnp.float32)  # f32 statistics under bf16 compute
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+        y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps))
+        return (y * scale + bias).astype(x.dtype)
 
 
 class TorchEncoderLayer(nn.Module):

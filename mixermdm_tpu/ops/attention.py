@@ -3,7 +3,7 @@
 The hot path of every denoiser layer (SURVEY.md §3.1: ~8 layers x 3
 attention ops per DDIM step, T<=300).  The reference relies on torch
 ``nn.MultiheadAttention`` CUDA kernels; here one Pallas program per
-(batch, head) computes ``softmax(QK^T * scale + mask) V`` entirely in VMEM:
+(batch, head) computes ``softmax(QK^T * scale + bias) V`` entirely in VMEM:
 both matmuls hit the MXU, the softmax stays on the VPU, and Q/K/V make a
 single HBM round trip instead of materialising logits/probabilities in HBM.
 
@@ -12,6 +12,11 @@ layers.py:33-44 in the reference) is implemented *algebraically*: the zero
 token contributes ``exp(0 - row_max)`` to the softmax denominator and
 nothing to the numerator, so the kernel just adds that term — no concat, no
 extra memory.
+
+Masks are carried as a per-batch key-bias row (B, 1, Tk) shared by all heads
+and query rows (not a (B*H, Tq, Tk) tensor — that would be ~150 MB of HBM
+traffic per call at production sizes), plus an optional shared (Tq, Tk)
+additive mask (causal CLIP).
 
 Sequence lengths here are small (<=300 frames), so a single-block design
 (whole T x T logits in VMEM, padded to lane multiples) beats a flash-style
@@ -35,7 +40,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, zero_attn, tq, tk):
+def _attn_body(q_ref, k_ref, v_ref, kbias_ref, qkbias_ref, out_ref, *, scale, zero_attn):
     q = q_ref[0].astype(jnp.float32)          # (Tq_pad, D_pad)
     k = k_ref[0].astype(jnp.float32)          # (Tk_pad, D_pad)
     v = v_ref[0].astype(jnp.float32)
@@ -45,7 +50,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, zero_attn, tq
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    logits = logits + bias_ref[0]             # padding/causal mask as additive bias
+    logits = logits + kbias_ref[0]            # (1, Tk_pad) key bias row
+    if qkbias_ref is not None:
+        logits = logits + qkbias_ref[0]       # (Tq_pad, Tk_pad) shared mask
 
     row_max = jnp.max(logits, axis=-1, keepdims=True)
     if zero_attn:
@@ -65,9 +72,17 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, zero_attn, tq
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("zero_attn", "interpret")
-)
+def _attn_kernel(q_ref, k_ref, v_ref, kbias_ref, out_ref, *, scale, zero_attn):
+    _attn_body(q_ref, k_ref, v_ref, kbias_ref, None, out_ref,
+               scale=scale, zero_attn=zero_attn)
+
+
+def _attn_kernel_qk(q_ref, k_ref, v_ref, kbias_ref, qkbias_ref, out_ref, *, scale, zero_attn):
+    _attn_body(q_ref, k_ref, v_ref, kbias_ref, qkbias_ref, out_ref,
+               scale=scale, zero_attn=zero_attn)
+
+
+@functools.partial(jax.jit, static_argnames=("zero_attn", "interpret"))
 def fused_attention(
     q: jnp.ndarray,                 # (B, H, Tq, D)
     k: jnp.ndarray,                 # (B, H, Tk, D)
@@ -91,51 +106,57 @@ def fused_attention(
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, Tk_p - Tk), (0, D_p - D)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, Tk_p - Tk), (0, D_p - D)))
 
-    # Build the additive bias (B, Tq_p, Tk_p): -inf on padded/masked keys.
+    # Per-batch key-bias row: -inf on padded and key-padding-masked keys.
     key_valid = jnp.arange(Tk_p) < Tk
-    bias = jnp.where(key_valid[None, None, :], 0.0, NEG_INF)
-    bias = jnp.broadcast_to(bias, (B, 1, Tk_p)).astype(jnp.float32)
+    kbias = jnp.where(key_valid[None, :], 0.0, NEG_INF).astype(jnp.float32)
+    kbias = jnp.broadcast_to(kbias, (B, Tk_p))
     if key_padding_mask is not None:
         kpm = jnp.pad(key_padding_mask, ((0, 0), (0, Tk_p - Tk)), constant_values=True)
-        bias = jnp.where(kpm[:, None, :], NEG_INF, bias)
-    bias = jnp.broadcast_to(bias, (B, Tq_p, Tk_p))
-    if attn_mask is not None:
-        am = jnp.pad(
-            attn_mask.astype(jnp.float32),
-            ((0, Tq_p - Tq), (0, Tk_p - Tk)),
-            constant_values=0.0,
-        )
-        bias = bias + am[None]
+        kbias = jnp.where(kpm, NEG_INF, kbias)
+    kbias = kbias[:, None, :]  # (B, 1, Tk_p)
 
     bh = B * H
     q2 = qp.reshape(bh, Tq_p, D_p)
     k2 = kp.reshape(bh, Tk_p, D_p)
     v2 = vp.reshape(bh, Tk_p, D_p)
-    bias2 = jnp.repeat(bias, H, axis=0)  # (B*H, Tq_p, Tk_p)
 
-    kernel = functools.partial(
-        _attn_kernel, scale=scale, zero_attn=zero_attn, tq=Tq_p, tk=Tk_p
-    )
+    in_specs = [
+        pl.BlockSpec((1, Tq_p, D_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Tk_p, D_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Tk_p, D_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        # One key-bias row per batch, shared across the H head programs.
+        pl.BlockSpec((1, 1, Tk_p), lambda i: (i // H, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = [q2, k2, v2, kbias]
+    if attn_mask is not None:
+        qkbias = jnp.pad(
+            attn_mask.astype(jnp.float32),
+            ((0, Tq_p - Tq), (0, Tk_p - Tk)),
+            constant_values=0.0,
+        )[None]
+        in_specs.append(
+            pl.BlockSpec((1, Tq_p, Tk_p), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+        )
+        inputs.append(qkbias)
+        kernel = functools.partial(_attn_kernel_qk, scale=scale, zero_attn=zero_attn)
+    else:
+        kernel = functools.partial(_attn_kernel, scale=scale, zero_attn=zero_attn)
+
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bh, Tq_p, D_p), q.dtype),
         grid=(bh,),
-        in_specs=[
-            pl.BlockSpec((1, Tq_p, D_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tk_p, D_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tk_p, D_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tq_p, Tk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, Tq_p, D_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * bh * Tq_p * Tk_p * D_p * 2,
-            bytes_accessed=4 * bh * (Tq_p * D_p * 2 + Tk_p * D_p * 2 + Tq_p * Tk_p),
+            bytes_accessed=4 * bh * (Tq_p * D_p * 2 + Tk_p * D_p * 2),
             transcendentals=bh * Tq_p * Tk_p,
         ),
         interpret=interpret,
-    )(q2, k2, v2, bias2)
+    )(*inputs)
 
     return out.reshape(B, H, Tq_p, D_p)[:, :, :Tq, :D]
 

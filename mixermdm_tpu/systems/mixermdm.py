@@ -48,6 +48,7 @@ class MixerMDMSystem:
         data_root: str = "./data",
         normalizer1: Optional[Normalizer] = None,
         normalizer2: Optional[Normalizer] = None,
+        compute_dtype: str = "auto",
     ):
         self.cfg = cfg or MIXERMDM_DEFAULT
         g = self.cfg.GENERATOR if "GENERATOR" in self.cfg else self.cfg
@@ -110,6 +111,15 @@ class MixerMDMSystem:
         self.cfg_weight = float(self.cfg.CFG_WEIGHT)
         self.force_influence_val = self.cfg.get("FORCE_INFLUENCE_VAL", None)
 
+        # bf16 transformer compute on TPU (MXU-native); f32 elsewhere.  The
+        # diffusion arithmetic + quaternion alignment always stay f32.
+        if compute_dtype == "auto":
+            self.compute_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else None
+        elif compute_dtype in ("bf16", "bfloat16"):
+            self.compute_dtype = jnp.bfloat16
+        else:
+            self.compute_dtype = None
+
         self._mixer_forward = make_mixer_forward(
             self.mixer_cfg,
             self.model1.denoiser_apply("individual"),
@@ -117,6 +127,7 @@ class MixerMDMSystem:
             lambda p, *args: self.core.apply({"params": p}, *args),
             self.normalizer1,
             self.normalizer2,
+            compute_dtype=self.compute_dtype,
         )
         self._jit_sample = {}
         self._jit_loss = {}
