@@ -175,8 +175,12 @@ class InterHumanDataset:
             m1, m2 = m2, m1
             t1, t2 = t2, t1
 
-        m1, quat1, pos1 = process_motion_interhuman(m1, 0.001, 0, 22)
-        m2, quat2, pos2 = process_motion_interhuman(m2, 0.001, 0, 22)
+        # Canonicalise through the native C++ pipeline when available
+        # (csrc/motion_ops.cpp; numpy fallback inside).
+        from .native import process_motion_interhuman_native
+
+        m1, quat1, pos1 = process_motion_interhuman_native(m1, 0.001, 0)
+        m2, quat2, pos2 = process_motion_interhuman_native(m2, 0.001, 0)
 
         # Express person 2 in person 1's canonical frame (interhuman.py:208-216).
         from ..utils.features import _qrot_np
