@@ -83,15 +83,17 @@ def ddim_sample_loop_x2(
     noise=None,
     nfeats: int = 262,
     collect_influence: bool = False,
-    influence_fn: Optional[Callable] = None,
     dtype=jnp.float32,
 ):
     """Full dual-stream DDIM chain as one ``lax.scan`` (reference :1769-1965).
 
     ``mixer_fn`` is typically the CFG-wrapped mixer
     (:func:`mixermdm_tpu.models.cfg.cfg_model_x2`).  Returns the final
-    ``pred_xstart2`` (raw motion space), plus per-step influence histories if
-    ``influence_fn`` is given (it must return ``(infl1, infl2)`` for a step).
+    ``pred_xstart2`` (raw motion space).  With ``collect_influence`` the
+    mixer_fn must return ``(mixed, (infl1, infl2))`` and the per-step
+    influence histories come back as stacked scan outputs — no extra forward
+    (the reference appends to Python lists inside the module,
+    mixermdm.py:794-796).
     """
     rng, init_rng = jax.random.split(rng)
     img = jax.random.normal(init_rng, shape, dtype) if noise is None else noise
@@ -105,7 +107,11 @@ def ddim_sample_loop_x2(
         t = jnp.full((B,), i, dtype=jnp.int32)
         t_orig = s.timestep_map[t]
 
-        mixed = mixer_fn(img, img2, t_orig, mask, cond)
+        if collect_influence:
+            mixed, infl = mixer_fn(img, img2, t_orig, mask, cond)
+        else:
+            mixed = mixer_fn(img, img2, t_orig, mask, cond)
+            infl = None
         pred_x, pred_x2 = process_xstart_dual(
             mixed, i, normalizer1, normalizer2, align, nfeats
         )
@@ -134,13 +140,11 @@ def ddim_sample_loop_x2(
         nxt = mean1 + nonzero * sigma * noise_step
         nxt2 = mean2 + nonzero * sigma * noise_step
 
-        ys = pred_x2
-        if influence_fn is not None:
-            ys = (pred_x2, influence_fn(img, img2, t_orig, mask, cond))
+        ys = (pred_x2, infl) if collect_influence else pred_x2
         return (nxt, nxt2, rng), ys
 
     (_, _, _), ys = jax.lax.scan(body, (img, img2, rng), ts)
-    if influence_fn is not None:
+    if collect_influence:
         preds, infl = ys
         return preds[-1], infl
     return ys[-1]

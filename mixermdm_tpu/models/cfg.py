@@ -36,12 +36,16 @@ def cfg_model(model_fn: Callable, scale: float) -> Callable:
     return fn
 
 
-def cfg_model_x2(mixer_fn: Callable, scale: float) -> Callable:
+def cfg_model_x2(mixer_fn: Callable, scale: float, with_influence: bool = False) -> Callable:
     """CFG threading the second latent stream for the Mixer
     (cfg_sampler.py:31-56).
 
     ``mixer_fn(x, x2, t, mask, cond) -> mixed`` (eval-mode Mixer output);
-    returns ``fn(x, x2, t, mask, cond)``.
+    returns ``fn(x, x2, t, mask, cond)``.  With ``with_influence`` the
+    mixer_fn must return ``(mixed, (infl1, infl2))`` and the wrapper returns
+    the CFG output plus the *conditioned-branch* influences — so influence
+    histories cost nothing extra (the reference logs the same conditioned
+    pass, mixermdm.py:794-796).
     """
 
     def fn(x, x2, timesteps, mask=None, cond=None):
@@ -51,6 +55,10 @@ def cfg_model_x2(mixer_fn: Callable, scale: float) -> Callable:
         t2 = jnp.concatenate([timesteps, timesteps], axis=0)
         c2 = None if cond is None else jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
         m2 = None if mask is None else jnp.concatenate([mask, mask], axis=0)
+        if with_influence:
+            out, (infl1, infl2) = mixer_fn(xa, xb, t2, m2, c2)
+            cfg_out = scale * out[:B] + (1.0 - scale) * out[B:]
+            return cfg_out, (infl1[:B], infl2[:B])
         out = mixer_fn(xa, xb, t2, m2, c2)
         return scale * out[:B] + (1.0 - scale) * out[B:]
 

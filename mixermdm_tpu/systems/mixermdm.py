@@ -287,24 +287,21 @@ class MixerMDMSystem:
         mp = self.mixer_params(params)
         fiv = self.force_influence_val
 
-        def mixer_eval(x, x2, t_orig, mask, c):
-            mixed, _, _, _ = self._mixer_forward(mp, x, t_orig, c, mask, x2, fiv)
-            return mixed
-
-        model = cfg_model_x2(mixer_eval, self.cfg_weight)
-
-        influence_fn = None
         if collect_influence:
-            def influence_fn(x, x2, t_orig, mask, c):
-                # Influence of the conditioned branch (histories are logged for
-                # the conditioned pass in the reference's eval plots).
-                _, _, _, infl = self._mixer_forward(mp, x, t_orig, c, mask, x2, fiv)
-                return infl
+            def mixer_eval(x, x2, t_orig, mask, c):
+                mixed, _, _, infl = self._mixer_forward(mp, x, t_orig, c, mask, x2, fiv)
+                return mixed, infl
+        else:
+            def mixer_eval(x, x2, t_orig, mask, c):
+                mixed, _, _, _ = self._mixer_forward(mp, x, t_orig, c, mask, x2, fiv)
+                return mixed
+
+        model = cfg_model_x2(mixer_eval, self.cfg_weight, with_influence=collect_influence)
 
         return ddim_sample_loop_x2(
             model, self.sample_schedule, (B, n_frames, self.nfeats * 2), rng, cond,
             normalizer1=self.normalizer1, normalizer2=self.normalizer2,
-            align=self.align, nfeats=self.nfeats, influence_fn=influence_fn,
+            align=self.align, nfeats=self.nfeats, collect_influence=collect_influence,
         )
 
     def forward(self, params, batch: dict, rng):

@@ -257,6 +257,157 @@ def convert_mixer_core(sd, n_blocks: int, prefix: str = "mixing") -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Inverse converters: flax params -> torch-style flat state dicts
+# (checkpoint export + converter round-trip testing)
+# ---------------------------------------------------------------------------
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def export_linear(p: dict, prefix: str, out: dict):
+    out[f"{prefix}.weight"] = _np(p["kernel"]).T.copy()
+    out[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def export_layernorm(p: dict, prefix: str, out: dict):
+    out[f"{prefix}.weight"] = _np(p["scale"])
+    out[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def export_mha(p: dict, prefix: str, out: dict, packed: bool = True):
+    qw, kw, vw = (_np(p[n]["kernel"]).T for n in ("q_proj", "k_proj", "v_proj"))
+    qb, kb, vb = (_np(p[n]["bias"]) for n in ("q_proj", "k_proj", "v_proj"))
+    if packed and qw.shape == kw.shape == vw.shape:
+        out[f"{prefix}.in_proj_weight"] = np.concatenate([qw, kw, vw], axis=0)
+    else:
+        out[f"{prefix}.q_proj_weight"] = qw
+        out[f"{prefix}.k_proj_weight"] = kw
+        out[f"{prefix}.v_proj_weight"] = vw
+    out[f"{prefix}.in_proj_bias"] = np.concatenate([qb, kb, vb], axis=0)
+    export_linear(p["out_proj"], f"{prefix}.out_proj", out)
+
+
+def export_adaln(p: dict, prefix: str, out: dict):
+    export_linear(p["emb_proj"], f"{prefix}.emb_layers.1", out)
+
+
+def export_timestep_embedder(p: dict, prefix: str, out: dict):
+    export_linear(p["linear1"], f"{prefix}.time_embed.0", out)
+    export_linear(p["linear2"], f"{prefix}.time_embed.2", out)
+
+
+def export_ffn(p: dict, prefix: str, out: dict):
+    export_linear(p["linear1"], f"{prefix}.linear1", out)
+    export_linear(p["linear2"], f"{prefix}.linear2", out)
+    if "norm" in p:
+        export_adaln(p["norm"], f"{prefix}.norm", out)
+
+
+def export_transformer_block(p: dict, prefix: str, out: dict):
+    export_mha(p["sa_block"]["attention"], f"{prefix}.sa_block.attention", out)
+    if "norm" in p["sa_block"]:
+        export_adaln(p["sa_block"]["norm"], f"{prefix}.sa_block.norm", out)
+    if "ca_block" in p:
+        export_mha(p["ca_block"]["attention"], f"{prefix}.ca_block.attention", out)
+        export_adaln(p["ca_block"]["norm"], f"{prefix}.ca_block.norm", out)
+        export_adaln(p["ca_block"]["xf_norm"], f"{prefix}.ca_block.xf_norm", out)
+    export_ffn(p["ffn"], f"{prefix}.ffn", out)
+
+
+def export_in2in_denoiser(params: dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    """In2INDenoiser params -> torch-style state dict (reference key names)."""
+    out: Dict[str, np.ndarray] = {}
+    p = prefix + "." if prefix else ""
+    export_timestep_embedder(params["embed_timestep"], f"{p}embed_timestep", out)
+    export_linear(params["motion_embed"], f"{p}motion_embed", out)
+    export_linear(params["text_embed"], f"{p}text_embed", out)
+    export_linear(params["out"]["linear"], f"{p}out.linear", out)
+    i = 0
+    while f"blocks_{i}" in params:
+        export_transformer_block(params[f"blocks_{i}"], f"{p}blocks.{i}", out)
+        i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# System-level converters: full reference checkpoints -> system param trees
+# ---------------------------------------------------------------------------
+
+
+def convert_in2in_system(sd: Dict[str, np.ndarray], mode: str, num_layers: int = 8,
+                         clip_layers: int = 12) -> dict:
+    """Reference in2IN state dict -> In2INSystem params.
+
+    Key families (reference in2in.py): ``decoder.net_interaction.*`` /
+    ``decoder.net_individual.*`` (denoisers),
+    ``clipTransEncoder_{interaction,individual}.*`` + ``clip_ln_*``
+    (post-encoders), ``token_embedding``/``clip_transformer``/... (CLIP).
+    """
+    params: dict = {"text": {}}
+    if any(k.startswith("token_embedding") for k in sd):
+        clip_sd = {
+            k.replace("clip_transformer", "transformer"): v
+            for k, v in sd.items()
+        }
+        params["text"]["clip"] = convert_clip_text(clip_sd, clip_layers)
+    if mode in ("interaction", "dual"):
+        params["denoiser_interaction"] = convert_in2in_denoiser(
+            sd, "decoder.net_interaction", num_layers, has_cross=True
+        )
+        params["text"]["post_interaction"] = convert_clip_post_encoder(
+            sd, "clipTransEncoder_interaction", "clip_ln_interaction"
+        )
+    if mode in ("individual", "dual"):
+        params["denoiser_individual"] = convert_in2in_denoiser(
+            sd, "decoder.net_individual", num_layers, has_cross=mode == "dual"
+        )
+        params["text"]["post_individual"] = convert_clip_post_encoder(
+            sd, "clipTransEncoder_individual", "clip_ln_individual"
+        )
+    return params
+
+
+def merge_dualmdm_state_dicts(sd_interaction: Dict[str, np.ndarray],
+                              sd_individual: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """DualMDM checkpoint merge (reference dualmdm.py:4-17): the interaction
+    checkpoint provides everything; the individual checkpoint's denoiser keys
+    slot in as ``decoder.net_individual``."""
+    merged = dict(sd_interaction)
+    for k, v in sd_individual.items():
+        if k.startswith("decoder.net_individual"):
+            merged[k] = v
+        if k.startswith("clipTransEncoder_individual") or k.startswith("clip_ln_individual"):
+            merged[k] = v
+    return merged
+
+
+def convert_mixermdm_system(sd: Dict[str, np.ndarray], mixer_blocks: int = 4,
+                            disc_layers: int = 2, clip_layers: int = 12) -> dict:
+    """Reference MixerMDM checkpoint -> the *trainable* MixerMDMSystem params.
+
+    The shipped MixerMDM.ckpt stores only the trained parts (frozen submodels
+    are dropped at save, scripts/eval/mixermdm.py:302-304): the Mixer core
+    (``mixing.*`` minus the frozen denoisers), the two discriminators, and
+    the CLIP post-encoder head.  Load the submodels from their own
+    checkpoints via :func:`convert_in2in_system`.
+    """
+    params = {
+        "core": convert_mixer_core(sd, mixer_blocks, prefix="mixing"),
+        "disc_i": convert_discriminator(sd, "discriminator_i", disc_layers),
+        "disc_I": convert_discriminator(sd, "discriminator_I", disc_layers),
+        "text": {
+            "post_mixer": convert_clip_post_encoder(sd, "clipTransEncoder", "clip_ln"),
+        },
+    }
+    if any(k.startswith("token_embedding") for k in sd):
+        clip_sd = {k.replace("clip_transformer", "transformer"): v for k, v in sd.items()}
+        params["text"]["clip"] = convert_clip_text(clip_sd, clip_layers)
+    return params
+
+
 def convert_mdm_denoiser(sd, num_layers: int, prefix: str = "model") -> dict:
     p = prefix + "." if prefix else ""
     return {
