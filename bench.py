@@ -57,6 +57,10 @@ def main(tiny: bool = False, repeats: int = 3):
     import jax
     import jax.numpy as jnp
 
+    from mixermdm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     system = build_system(tiny)
     params = system.init_params(jax.random.PRNGKey(0))
 

@@ -206,6 +206,7 @@ def mixer_training_losses(
     nfeats: int = 262,
     faithful_x2_norm_skip: bool = True,
     hinge_mask_mode: str = "reference",
+    dropout_rng=None,
 ):
     """Hinge-GAN losses for generator or discriminator side (:1545-1767).
 
@@ -235,8 +236,17 @@ def mixer_training_losses(
     x2_t = q_sample(s, x_start2, t, noise)
 
     t_orig = s.timestep_map[t]
+    # Train-mode alternation mirrors the reference's .train()/.eval() flips
+    # (mixermdm.py:403-431): the Mixer core drops out only on the G step,
+    # discriminators only on the D step; frozen denoisers are always eval.
+    gen_train = mode == "generator"
+    disc_train = mode == "discriminator"
+    rngs_gen = None
+    if dropout_rng is not None and gen_train:
+        rngs_gen = {"dropout": jax.random.fold_in(dropout_rng, 0)}
     model_output, i_output, _I_output, _infl = mixer_forward(
-        params["mixer"], x1_t, t_orig, cond, m, x2_t
+        params["mixer"], x1_t, t_orig, cond, m, x2_t,
+        train=gen_train, rngs=rngs_gen,
     )
 
     # Center for the individual discriminator heads (:1604-1617).
@@ -259,6 +269,7 @@ def mixer_training_losses(
         g_i1 = g_hinge_loss(disc_i_apply(dpi, mo_i1, t_orig, m, cond_i1), w) * i_loss_factor
         g_i2 = g_hinge_loss(disc_i_apply(dpi, mo_i2, t_orig, m, cond_i2), w) * i_loss_factor
         g_I = g_hinge_loss(disc_I_apply(dpI, model_output, t_orig, m, cond_I), w) * I_loss_factor
+        del disc_train
         losses.update(generator_i1=g_i1, generator_i2=g_i2, generator_I=g_I)
 
         mean_loss = (g_i1 + g_i2 + g_I) / (i_loss_factor * 2 + I_loss_factor)
@@ -277,14 +288,19 @@ def mixer_training_losses(
         model_output = jax.lax.stop_gradient(model_output)
         I_output = jax.lax.stop_gradient(_I_output)
 
-        def d_pair(apply, p, real_x, fake_x, c):
-            real = d_hinge_loss(apply(p, real_x, t_orig, m, c), 1.0, w)
-            fake = d_hinge_loss(apply(p, fake_x, t_orig, m, c), -1.0, w)
+        def d_pair(apply, p, real_x, fake_x, c, idx):
+            def r(k):
+                if dropout_rng is None:
+                    return None
+                return {"dropout": jax.random.fold_in(dropout_rng, idx * 2 + k)}
+
+            real = d_hinge_loss(apply(p, real_x, t_orig, m, c, train=disc_train, rngs=r(0)), 1.0, w)
+            fake = d_hinge_loss(apply(p, fake_x, t_orig, m, c, train=disc_train, rngs=r(1)), -1.0, w)
             return (real + fake) / 2
 
-        d_i1 = d_pair(disc_i_apply, params["disc_i"], io_i1, mo_i1, cond_i1) * i_loss_factor
-        d_i2 = d_pair(disc_i_apply, params["disc_i"], io_i2, mo_i2, cond_i2) * i_loss_factor
-        d_I = d_pair(disc_I_apply, params["disc_I"], I_output, model_output, cond_I) * I_loss_factor
+        d_i1 = d_pair(disc_i_apply, params["disc_i"], io_i1, mo_i1, cond_i1, 1) * i_loss_factor
+        d_i2 = d_pair(disc_i_apply, params["disc_i"], io_i2, mo_i2, cond_i2, 2) * i_loss_factor
+        d_I = d_pair(disc_I_apply, params["disc_I"], I_output, model_output, cond_I, 3) * I_loss_factor
         losses.update(discriminator_i1=d_i1, discriminator_i2=d_i2, discriminator_I=d_I)
 
         mean_loss = (d_i1 + d_i2 + d_I) / (i_loss_factor * 2 + I_loss_factor)

@@ -25,16 +25,19 @@ class TransformerBlock(nn.Module):
     latent_dim: int = 512
     num_heads: int = 8
     ff_size: int = 1024
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, y, emb=None, key_padding_mask=None):
-        h1 = VanillaSelfAttention(self.latent_dim, self.num_heads, name="sa_block")(
-            x, emb, key_padding_mask
-        ) + x
+    def __call__(self, x, y, emb=None, key_padding_mask=None, train: bool = False):
+        h1 = VanillaSelfAttention(self.latent_dim, self.num_heads, self.dropout,
+                                  name="sa_block")(x, emb, key_padding_mask, train) + x
         h2 = VanillaCrossAttention(
-            self.latent_dim, self.latent_dim, self.num_heads, name="ca_block"
-        )(h1, y, emb, key_padding_mask) + h1
-        return FFN(self.latent_dim, self.ff_size, name="ffn")(h2, emb) + h2
+            self.latent_dim, self.latent_dim, self.num_heads, self.dropout,
+            name="ca_block",
+        )(h1, y, emb, key_padding_mask, train) + h1
+        return FFN(self.latent_dim, self.ff_size, self.dropout, name="ffn")(
+            h2, emb, train
+        ) + h2
 
 
 class TransformerBlockDoubleCond(nn.Module):
@@ -44,19 +47,23 @@ class TransformerBlockDoubleCond(nn.Module):
     latent_dim: int = 512
     num_heads: int = 8
     ff_size: int = 1024
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, y, emb=None, emb_interaction=None, key_padding_mask=None):
-        h1 = VanillaSelfAttention(self.latent_dim, self.num_heads, name="sa_block")(
-            x, emb, key_padding_mask
-        ) + x
+    def __call__(self, x, y, emb=None, emb_interaction=None, key_padding_mask=None,
+                 train: bool = False):
+        h1 = VanillaSelfAttention(self.latent_dim, self.num_heads, self.dropout,
+                                  name="sa_block")(x, emb, key_padding_mask, train) + x
         if self.mode in ("individual", "dual_individual"):
             h2 = h1
         else:
             h2 = VanillaCrossAttention(
-                self.latent_dim, self.latent_dim, self.num_heads, name="ca_block"
-            )(h1, y, emb_interaction, key_padding_mask) + h1
-        return FFN(self.latent_dim, self.ff_size, name="ffn")(h2, emb) + h2
+                self.latent_dim, self.latent_dim, self.num_heads, self.dropout,
+                name="ca_block",
+            )(h1, y, emb_interaction, key_padding_mask, train) + h1
+        return FFN(self.latent_dim, self.ff_size, self.dropout, name="ffn")(
+            h2, emb, train
+        ) + h2
 
     @staticmethod
     def has_cross_attention(mode: str) -> bool:
@@ -69,13 +76,15 @@ class TransformerBlockSimple(nn.Module):
     latent_dim: int = 512
     num_heads: int = 8
     ff_size: int = 1024
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, emb=None, key_padding_mask=None):
-        h1 = VanillaSelfAttention(self.latent_dim, self.num_heads, name="sa_block")(
-            x, emb, key_padding_mask
-        ) + x
-        return FFN(self.latent_dim, self.ff_size, name="ffn")(h1, emb) + h1
+    def __call__(self, x, emb=None, key_padding_mask=None, train: bool = False):
+        h1 = VanillaSelfAttention(self.latent_dim, self.num_heads, self.dropout,
+                                  name="sa_block")(x, emb, key_padding_mask, train) + x
+        return FFN(self.latent_dim, self.ff_size, self.dropout, name="ffn")(
+            h1, emb, train
+        ) + h1
 
 
 class InfluenceBlockCross(nn.Module):
@@ -85,13 +94,17 @@ class InfluenceBlockCross(nn.Module):
     latent_dim: int = 512
     num_heads: int = 8
     ff_size: int = 1024
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, m_i, m_I, emb_i=None, emb_I=None, key_padding_mask=None):
-        h1 = VanillaSelfAttention(self.latent_dim, self.num_heads, name="sa_block")(
-            m_i, emb_i, key_padding_mask
-        ) + m_i
+    def __call__(self, m_i, m_I, emb_i=None, emb_I=None, key_padding_mask=None,
+                 train: bool = False):
+        h1 = VanillaSelfAttention(self.latent_dim, self.num_heads, self.dropout,
+                                  name="sa_block")(m_i, emb_i, key_padding_mask, train) + m_i
         h2 = VanillaCrossAttention(
-            self.latent_dim, self.latent_dim, self.num_heads, name="ca_block"
-        )(h1, m_I, emb_I, key_padding_mask) + h1
-        return FFN(self.latent_dim, self.ff_size, name="ffn")(h2, emb_I) + h2
+            self.latent_dim, self.latent_dim, self.num_heads, self.dropout,
+            name="ca_block",
+        )(h1, m_I, emb_I, key_padding_mask, train) + h1
+        return FFN(self.latent_dim, self.ff_size, self.dropout, name="ffn")(
+            h2, emb_I, train
+        ) + h2

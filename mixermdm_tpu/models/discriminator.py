@@ -22,9 +22,10 @@ class DiscriminatorTransformer(nn.Module):
     num_layers: int = 2
     num_heads: int = 4
     text_emb_dim: int = 768
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, timesteps, mask=None, cond=None):
+    def __call__(self, x, timesteps, mask=None, cond=None, train: bool = False):
         B, T = x.shape[0], x.shape[1]
 
         cond_emb = TimestepEmbedder(self.latent_dim, name="embed_timestep")(timesteps)
@@ -44,7 +45,8 @@ class DiscriminatorTransformer(nn.Module):
                 latent_dim=self.latent_dim,
                 num_heads=self.num_heads,
                 ff_size=self.ff_size,
+                dropout=self.dropout,
                 name=f"blocks_{i}",
-            )(h, cond_emb, key_padding_mask)
+            )(h, cond_emb, key_padding_mask, train)
 
         return TorchLinear(1, name="out")(h)  # (B, T, 1) per-frame logits

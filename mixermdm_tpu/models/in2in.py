@@ -44,9 +44,10 @@ class In2INDenoiser(nn.Module):
     num_layers: int = 8
     num_heads: int = 8
     text_dim: int = 768
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, timesteps, mask=None, cond=None):
+    def __call__(self, x, timesteps, mask=None, cond=None, train: bool = False):
         B, T = x.shape[0], x.shape[1]
         single = self.mode == "individual"
         td = self.text_dim
@@ -83,6 +84,7 @@ class In2INDenoiser(nn.Module):
                 latent_dim=self.latent_dim,
                 num_heads=self.num_heads,
                 ff_size=self.ff_size,
+                dropout=self.dropout,
                 name=f"blocks_{i}",
             )
             for i in range(self.num_layers)
@@ -92,7 +94,7 @@ class In2INDenoiser(nn.Module):
         if single:
             h = pos_enc(motion_embed(x[..., : self.input_feats]))
             for block in blocks:
-                h = block(h, None, emb_i1, None, key_padding_mask)
+                h = block(h, None, emb_i1, None, key_padding_mask, train)
             return final(h)
 
         x_a = x[..., : self.input_feats]
@@ -106,8 +108,8 @@ class In2INDenoiser(nn.Module):
             h_a = pos_enc(motion_embed(x_a))
             h_b0 = pos_enc(motion_embed(x_b))
             for block in blocks:
-                h_a = block(h_a, None, emb_i1, None, key_padding_mask)
-            h_b = blocks[-1](h_b0, None, emb_i2, None, key_padding_mask)
+                h_a = block(h_a, None, emb_i1, None, key_padding_mask, train)
+            h_b = blocks[-1](h_b0, None, emb_i2, None, key_padding_mask, train)
             return jnp.concatenate([final(h_a), final(h_b)], axis=-1)
 
         # interaction / dual_interaction: stack person streams into the batch
@@ -120,6 +122,6 @@ class In2INDenoiser(nn.Module):
         for block in blocks:
             # Partner stream = the other stacked half from the previous layer.
             partner = jnp.concatenate([h[B:], h[:B]], axis=0)
-            h = block(h, partner, emb, emb_inter2, kpm)
+            h = block(h, partner, emb, emb_inter2, kpm, train)
         out = final(h)
         return jnp.concatenate([out[:B], out[B:]], axis=-1)

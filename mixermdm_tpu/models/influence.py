@@ -30,9 +30,11 @@ class Influence(nn.Module):
     n_heads: int = 8
     ff_size: int = 1024
     mode: int = 4
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, m_i, m_I, cond_i=None, cond_I=None, mask=None):
+    def __call__(self, m_i, m_I, cond_i=None, cond_I=None, mask=None,
+                 train: bool = False):
         B, T = m_i.shape[0], m_i.shape[1]
 
         if mask is None:
@@ -47,8 +49,9 @@ class Influence(nn.Module):
                 latent_dim=self.input_shape,
                 num_heads=self.n_heads,
                 ff_size=self.ff_size,
+                dropout=self.dropout,
                 name=f"blocks_{i}",
-            )(h, m_I, cond_i, cond_I, key_padding_mask)
+            )(h, m_I, cond_i, cond_I, key_padding_mask, train)
 
         if self.mode in (1, 3):
             h = h.mean(axis=1)  # global average pool over time

@@ -23,9 +23,10 @@ class InterDenoiser(nn.Module):
     num_layers: int = 8
     num_heads: int = 8
     text_dim: int = 768
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, timesteps, mask=None, cond=None):
+    def __call__(self, x, timesteps, mask=None, cond=None, train: bool = False):
         B, T = x.shape[0], x.shape[1]
 
         t_emb = TimestepEmbedder(self.latent_dim, name="embed_timestep")(timesteps)
@@ -52,8 +53,9 @@ class InterDenoiser(nn.Module):
                 latent_dim=self.latent_dim,
                 num_heads=self.num_heads,
                 ff_size=self.ff_size,
+                dropout=self.dropout,
                 name=f"blocks_{i}",
-            )(h, partner, emb2, kpm)
+            )(h, partner, emb2, kpm, train)
 
         out = FinalLayer(self.input_feats, name="out")(h)
         return jnp.concatenate([out[:B], out[B:]], axis=-1)

@@ -133,9 +133,11 @@ class TorchMultiheadAttention(nn.Module):
     kdim: Optional[int] = None
     vdim: Optional[int] = None
     add_zero_attn: bool = True
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, query, key, value, key_padding_mask=None, attn_mask=None):
+    def __call__(self, query, key, value, key_padding_mask=None, attn_mask=None,
+                 train: bool = False):
         B, Tq, _ = query.shape
         Tk = key.shape[1]
         E, H = self.embed_dim, self.num_heads
@@ -145,9 +147,10 @@ class TorchMultiheadAttention(nn.Module):
         k = TorchLinear(E, name="k_proj")(key)
         v = TorchLinear(E, name="v_proj")(value)
 
-        if use_pallas_attention():
+        if use_pallas_attention() and not (train and self.dropout > 0.0):
             # Fused VMEM kernel; zero-attn is handled algebraically inside
             # (extra exp(-row_max) denominator term), no K/V concat needed.
+            # (Training with attention dropout takes the XLA path.)
             from ..ops.attention import fused_attention
 
             qh = q.reshape(B, Tq, H, head_dim).transpose(0, 2, 1, 3)
@@ -189,6 +192,8 @@ class TorchMultiheadAttention(nn.Module):
 
         attn = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
         attn = attn / attn.sum(axis=-1, keepdims=True)
+        if self.dropout > 0.0:
+            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, Tq, E)
         return TorchLinear(E, name="out_proj")(out)
 
@@ -198,13 +203,14 @@ class VanillaSelfAttention(nn.Module):
 
     latent_dim: int
     num_heads: int
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, emb, key_padding_mask=None):
+    def __call__(self, x, emb, key_padding_mask=None, train: bool = False):
         x_norm = AdaLN(self.latent_dim, name="norm")(x, emb)
         return TorchMultiheadAttention(
-            self.latent_dim, self.num_heads, name="attention"
-        )(x_norm, x_norm, x_norm, key_padding_mask)
+            self.latent_dim, self.num_heads, dropout=self.dropout, name="attention"
+        )(x_norm, x_norm, x_norm, key_padding_mask, train=train)
 
 
 class VanillaSelfAttentionSimple(nn.Module):
@@ -212,13 +218,14 @@ class VanillaSelfAttentionSimple(nn.Module):
 
     latent_dim: int
     num_heads: int
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, key_padding_mask=None):
+    def __call__(self, x, key_padding_mask=None, train: bool = False):
         x_norm = layer_norm(x, eps=1e-6)
         return TorchMultiheadAttention(
-            self.latent_dim, self.num_heads, name="attention"
-        )(x_norm, x_norm, x_norm, key_padding_mask)
+            self.latent_dim, self.num_heads, dropout=self.dropout, name="attention"
+        )(x_norm, x_norm, x_norm, key_padding_mask, train=train)
 
 
 class VanillaCrossAttention(nn.Module):
@@ -227,29 +234,37 @@ class VanillaCrossAttention(nn.Module):
     latent_dim: int
     xf_latent_dim: int
     num_heads: int
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, xf, emb, key_padding_mask=None):
+    def __call__(self, x, xf, emb, key_padding_mask=None, train: bool = False):
         x_norm = AdaLN(self.latent_dim, name="norm")(x, emb)
         xf_norm = AdaLN(self.xf_latent_dim, name="xf_norm")(xf, emb)
         return TorchMultiheadAttention(
             self.latent_dim, self.num_heads,
-            kdim=self.xf_latent_dim, vdim=self.xf_latent_dim, name="attention",
-        )(x_norm, xf_norm, xf_norm, key_padding_mask)
+            kdim=self.xf_latent_dim, vdim=self.xf_latent_dim, dropout=self.dropout,
+            name="attention",
+        )(x_norm, xf_norm, xf_norm, key_padding_mask, train=train)
 
 
 class FFN(nn.Module):
-    """AdaLN-conditioned GELU MLP, zero-init output (layers.py:91-106)."""
+    """AdaLN-conditioned GELU MLP, zero-init output (layers.py:91-106).
+
+    Dropout sits between the activation and the output projection
+    (reference: ``linear2(dropout(activation(linear1(x))))``)."""
 
     latent_dim: int
     ffn_dim: int
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, emb=None):
+    def __call__(self, x, emb=None, train: bool = False):
         if emb is not None:
             x = AdaLN(self.latent_dim, name="norm")(x, emb)
         h = TorchLinear(self.ffn_dim, name="linear1")(x)
         h = nn.gelu(h, approximate=False)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
         return ZeroLinear(self.latent_dim, name="linear2")(h)
 
 

@@ -29,9 +29,10 @@ class MDMDenoiser(nn.Module):
     # actually 512-d after ``embed_text`` — kept as metadata for the Mixer's
     # offset math (see SURVEY.md §2.4 cond-layout quirk).
     text_dim: int = 256
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, timesteps, mask=None, cond=None):
+    def __call__(self, x, timesteps, mask=None, cond=None, train: bool = False):
         B, T, _ = x.shape
 
         t_emb = TimestepEmbedder(self.latent_dim, name="embed_timestep")(timesteps)
@@ -51,6 +52,6 @@ class MDMDenoiser(nn.Module):
         xseq = PositionalEncoding(self.latent_dim, name="sequence_pos_encoder")(xseq)
         out = TorchEncoder(
             self.latent_dim, self.num_heads, self.ff_size, self.num_layers,
-            name="seqTransEncoder",
-        )(xseq, key_padding_mask)[:, 1:, :]
+            dropout=self.dropout, name="seqTransEncoder",
+        )(xseq, key_padding_mask, train=train)[:, 1:, :]
         return TorchLinear(self.input_feats, name="output_process")(out)

@@ -47,6 +47,7 @@ class MixerCore(nn.Module):
     n_heads: int = 8
     text_dim: int = 768
     mixing_mode: int = 4
+    dropout: float = 0.0
 
     @nn.compact
     def __call__(
@@ -56,6 +57,7 @@ class MixerCore(nn.Module):
         timesteps,            # (B,) original timesteps
         cond_I, cond_i1, cond_i2,  # raw 768-d mixer conds
         mask=None,
+        train: bool = False,
     ):
         B, T = out1_1.shape[0], out1_1.shape[1]
 
@@ -81,8 +83,9 @@ class MixerCore(nn.Module):
             n_heads=self.n_heads,
             ff_size=self.ff_size,
             mode=self.mixing_mode,
+            dropout=self.dropout,
             name="influence",
-        )(m_i, m_I, cond_i, cond_I2, mask2)
+        )(m_i, m_I, cond_i, cond_I2, mask2, train)
 
         infl_1, infl_2 = infl[:B], infl[B:]
         return (
@@ -146,7 +149,8 @@ def make_mixer_forward(
     F = cfg.nfeats
 
     def forward(params, x1, t, cond, mask=None, x2=None,
-                force_influence_val: Optional[float] = None):
+                force_influence_val: Optional[float] = None,
+                train: bool = False, rngs=None):
         B, T = x1.shape[0], x1.shape[1]
 
         x1_i1 = x1[..., :F]
@@ -208,6 +212,7 @@ def make_mixer_forward(
             infl1, infl2 = core_apply(
                 params["core"], cd(out1_1), cd(out1_2), cd(out2_1), cd(out2_2), t,
                 cd(cond_I), cd(cond_i1), cd(cond_i2), mask,
+                train=train, rngs=rngs,
             )
             infl1 = infl1.astype(jnp.float32)
             infl2 = infl2.astype(jnp.float32)
@@ -215,6 +220,7 @@ def make_mixer_forward(
             infl1, infl2 = core_apply(
                 params["core"], out1_1, out1_2, out2_1, out2_2, t,
                 cond_I, cond_i1, cond_i2, mask,
+                train=train, rngs=rngs,
             )
 
         if force_influence_val is not None:

@@ -42,16 +42,24 @@ class TorchEncoderLayer(nn.Module):
     d_model: int
     nhead: int
     dim_feedforward: int
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, key_padding_mask=None, attn_mask=None):
+    def __call__(self, x, key_padding_mask=None, attn_mask=None, train: bool = False):
         attn = TorchMultiheadAttention(
-            self.d_model, self.nhead, add_zero_attn=False, name="self_attn"
-        )(x, x, x, key_padding_mask, attn_mask)
+            self.d_model, self.nhead, add_zero_attn=False, dropout=self.dropout,
+            name="self_attn",
+        )(x, x, x, key_padding_mask, attn_mask, train=train)
+        if self.dropout > 0.0:
+            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
         x = LayerNormAffine(self.d_model, name="norm1")(x + attn)
         h = TorchLinear(self.dim_feedforward, name="linear1")(x)
         h = nn.gelu(h, approximate=False)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = TorchLinear(self.d_model, name="linear2")(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
         return LayerNormAffine(self.d_model, name="norm2")(x + h)
 
 
@@ -62,13 +70,15 @@ class TorchEncoder(nn.Module):
     nhead: int
     dim_feedforward: int
     num_layers: int
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, key_padding_mask=None, attn_mask=None):
+    def __call__(self, x, key_padding_mask=None, attn_mask=None, train: bool = False):
         for i in range(self.num_layers):
             x = TorchEncoderLayer(
-                self.d_model, self.nhead, self.dim_feedforward, name=f"layers_{i}"
-            )(x, key_padding_mask, attn_mask)
+                self.d_model, self.nhead, self.dim_feedforward, self.dropout,
+                name=f"layers_{i}",
+            )(x, key_padding_mask, attn_mask, train)
         return x
 
 
@@ -83,11 +93,12 @@ class ClipPostEncoder(nn.Module):
     num_layers: int = 2
     dim_feedforward: int = 2048
     nhead: int = 8
+    dropout: float = 0.1  # reference post-encoders use p=0.1 (in2in.py:29)
 
     @nn.compact
-    def __call__(self, clip_tokens):
+    def __call__(self, clip_tokens, train: bool = False):
         h = TorchEncoder(
             self.d_model, self.nhead, self.dim_feedforward, self.num_layers,
-            name="encoder",
-        )(clip_tokens)
+            dropout=self.dropout, name="encoder",
+        )(clip_tokens, train=train)
         return LayerNormAffine(self.d_model, name="ln")(h)

@@ -62,6 +62,7 @@ class In2INSystem:
                 num_layers=int(self.cfg.NUM_LAYERS),
                 num_heads=int(self.cfg.NUM_HEADS),
                 text_dim=self.text_dim,
+                dropout=float(self.cfg.get("DROPOUT", 0.0)),
             )
 
         self.denoisers = {}
@@ -120,8 +121,8 @@ class In2INSystem:
     def denoiser_apply(self, name: str):
         d = self.denoisers[name]
 
-        def apply(p, x, t, mask, cond):
-            return d.apply({"params": p}, x, t, mask, cond)
+        def apply(p, x, t, mask, cond, train=False, rngs=None):
+            return d.apply({"params": p}, x, t, mask, cond, train=train, rngs=rngs)
 
         return apply
 
@@ -191,6 +192,7 @@ class In2INSystem:
             cond = cond * (1.0 - drop)
 
         seq_mask = generate_src_mask(T, motion_lens, B)
+        rng_t, rng_drop = jax.random.split(rng_t)
         t = jax.random.randint(rng_t, (B,), 0, self.train_schedule.num_timesteps)
 
         name = "interaction" if self.mode != "individual" else "individual"
@@ -198,7 +200,8 @@ class In2INSystem:
         dparams = params[f"denoiser_{name}"]
 
         def model_fn(x_t, t_orig):
-            return apply(dparams, x_t, t_orig, seq_mask, cond)
+            return apply(dparams, x_t, t_orig, seq_mask, cond,
+                         train=True, rngs={"dropout": rng_drop})
 
         return motion_training_losses(
             model_fn, self.train_schedule, motions, t, seq_mask, rng_noise,

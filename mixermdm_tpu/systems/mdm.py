@@ -44,6 +44,7 @@ class MDMSystem:
             ff_size=int(cfg.FF_SIZE),
             num_layers=int(cfg.NUM_LAYERS),
             num_heads=int(cfg.NUM_HEADS),
+            dropout=float(cfg.get("DROPOUT", 0.0)),
         )
         steps = int(cfg.DIFFUSION_STEPS)
         self.train_schedule = named_schedule(cfg.BETA_SCHEDULER, steps)
@@ -93,8 +94,8 @@ class MDMSystem:
     def denoiser_apply(self):
         d = self.denoiser
 
-        def apply(p, x, t, mask, cond):
-            return d.apply({"params": p}, x, t, mask, cond)
+        def apply(p, x, t, mask, cond, train=False, rngs=None):
+            return d.apply({"params": p}, x, t, mask, cond, train=train, rngs=rngs)
 
         return apply
 
@@ -107,12 +108,14 @@ class MDMSystem:
             drop = jax.random.bernoulli(rng_mask, cond_mask_prob, (B, 1))
             cond = cond * (1.0 - drop)
         seq_mask = generate_src_mask(T, motion_lens, B)
+        rng_t, rng_drop = jax.random.split(rng_t)
         t = jax.random.randint(rng_t, (B,), 0, self.train_schedule.num_timesteps)
         apply = self.denoiser_apply()
         dparams = params["denoiser"]
 
         def model_fn(x_t, t_orig):
-            return apply(dparams, x_t, t_orig, seq_mask, cond)
+            return apply(dparams, x_t, t_orig, seq_mask, cond,
+                         train=True, rngs={"dropout": rng_drop})
 
         return motion_training_losses(
             model_fn, self.train_schedule, motions, t, seq_mask, rng_noise,

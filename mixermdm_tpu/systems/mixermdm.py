@@ -81,6 +81,7 @@ class MixerMDMSystem:
             n_blocks=self.mixer_cfg.n_blocks,
             n_heads=self.mixer_cfg.n_heads,
             mixing_mode=self.mixer_cfg.mixing_mode,
+            dropout=float(g.get("DROPOUT", 0.0)),
         )
         self.disc_i = DiscriminatorTransformer(
             input_feats=self.nfeats,
@@ -88,6 +89,7 @@ class MixerMDMSystem:
             ff_size=int(d.FF_SIZE),
             num_layers=int(d.NUM_LAYERS),
             num_heads=int(d.NUM_HEADS),
+            dropout=float(d.get("DROPOUT", 0.0)),
         )
         self.disc_I = DiscriminatorTransformer(
             input_feats=self.nfeats * 2,
@@ -95,6 +97,7 @@ class MixerMDMSystem:
             ff_size=int(d.FF_SIZE),
             num_layers=int(d.NUM_LAYERS),
             num_heads=int(d.NUM_HEADS),
+            dropout=float(d.get("DROPOUT", 0.0)),
         )
         # Own CLIP post-encoder for the influence conds (mixermdm.py:244-256).
         self.text = TextPipeline(clip_cfg or self.model2.text.clip_cfg, heads=("mixer",))
@@ -124,7 +127,9 @@ class MixerMDMSystem:
             self.mixer_cfg,
             self.model1.denoiser_apply("individual"),
             self.model2.denoiser_apply("interaction"),
-            lambda p, *args: self.core.apply({"params": p}, *args),
+            lambda p, *args, train=False, rngs=None: self.core.apply(
+                {"params": p}, *args, train=train, rngs=rngs
+            ),
             self.normalizer1,
             self.normalizer2,
             compute_dtype=self.compute_dtype,
@@ -244,6 +249,7 @@ class MixerMDMSystem:
             drop = jax.random.bernoulli(rng_mask, cond_mask_prob, (B, 1))
             cond = cond * (1.0 - drop)
         seq_mask = generate_src_mask(T, motion_lens, B)
+        rng_t, rng_drop = jax.random.split(rng_t)
         t = jax.random.randint(rng_t, (B,), 0, self.train_schedule.num_timesteps)
 
         loss_params = {
@@ -253,8 +259,12 @@ class MixerMDMSystem:
         }
         return mixer_training_losses(
             self._mixer_forward,
-            lambda p, x, tt, m, c: self.disc_i.apply({"params": p}, x, tt, m, c),
-            lambda p, x, tt, m, c: self.disc_I.apply({"params": p}, x, tt, m, c),
+            lambda p, x, tt, m, c, train=False, rngs=None: self.disc_i.apply(
+                {"params": p}, x, tt, m, c, train=train, rngs=rngs
+            ),
+            lambda p, x, tt, m, c, train=False, rngs=None: self.disc_I.apply(
+                {"params": p}, x, tt, m, c, train=train, rngs=rngs
+            ),
             loss_params,
             self.train_schedule,
             motions, t, cond, seq_mask, rng_noise,
@@ -264,6 +274,7 @@ class MixerMDMSystem:
             normalizer1=self.normalizer1, normalizer2=self.normalizer2,
             cond_slices=self.mixer_cfg.cond_slices(),
             nfeats=self.nfeats,
+            dropout_rng=rng_drop,
         )
 
     # ----------------------------------------------------------------- sample
