@@ -56,9 +56,12 @@ class TextPipeline:
         feats = self.clip.apply({"params": params["clip"]}, tokens)
         return jax.lax.stop_gradient(feats)
 
-    def encode(self, params: dict, tokens, head: str = "default") -> jnp.ndarray:
+    def encode(self, params: dict, tokens, head: str = "default",
+               train: bool = False, rngs=None) -> jnp.ndarray:
         feats = self.clip_features(params, tokens)
-        out = self.post[head].apply({"params": params[f"post_{head}"]}, feats)
+        out = self.post[head].apply(
+            {"params": params[f"post_{head}"]}, feats, train=train, rngs=rngs
+        )
         return eot_pool(out, tokens)
 
     def encode_texts(self, params: dict, texts: List[str], head: str = "default"):
