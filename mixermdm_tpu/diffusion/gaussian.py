@@ -135,8 +135,13 @@ def ddim_step(s: DiffusionSchedule, x, t, pred_xstart, rng, eta: float = 0.0):
     """Deterministic (eta=0) DDIM update, eq. 12 (reference :799-849)."""
     nd = x.ndim
     eps = predict_eps_from_xstart(s, x, t, pred_xstart)
-    alpha_bar = extract(s.alphas_cumprod, t, nd)
     alpha_bar_prev = extract(s.alphas_cumprod_prev, t, nd)
+    if eta == 0.0:
+        # Deterministic path: no sigma, no per-step noise draw.
+        return pred_xstart * jnp.sqrt(alpha_bar_prev) + jnp.sqrt(
+            1 - alpha_bar_prev
+        ) * eps
+    alpha_bar = extract(s.alphas_cumprod, t, nd)
     sigma = (
         eta
         * jnp.sqrt((1 - alpha_bar_prev) / (1 - alpha_bar))

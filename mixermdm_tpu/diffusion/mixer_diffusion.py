@@ -134,11 +134,15 @@ def ddim_sample_loop_x2(
         mean1 = pred_x * jnp.sqrt(alpha_bar_prev) + coef * eps
         mean2 = pred_x2 * jnp.sqrt(alpha_bar_prev) + coef * eps2
 
-        # Shared noise for both streams (reference :1947-1963).
-        noise_step = jax.random.normal(step_rng, img.shape, img.dtype)
-        nonzero = (t != 0).astype(img.dtype).reshape((B,) + (1,) * (nd - 1))
-        nxt = mean1 + nonzero * sigma * noise_step
-        nxt2 = mean2 + nonzero * sigma * noise_step
+        if eta == 0.0:
+            # Deterministic DDIM: no per-step noise draw at all.
+            nxt, nxt2 = mean1, mean2
+        else:
+            # Shared noise for both streams (reference :1947-1963).
+            noise_step = jax.random.normal(step_rng, img.shape, img.dtype)
+            nonzero = (t != 0).astype(img.dtype).reshape((B,) + (1,) * (nd - 1))
+            nxt = mean1 + nonzero * sigma * noise_step
+            nxt2 = mean2 + nonzero * sigma * noise_step
 
         ys = (pred_x2, infl) if collect_influence else pred_x2
         return (nxt, nxt2, rng), ys

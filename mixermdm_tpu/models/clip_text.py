@@ -83,6 +83,16 @@ class ClipResBlock(nn.Module):
         return x + h
 
 
+class _ClipScanBody(nn.Module):
+    width: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x, causal):
+        x = ClipResBlock(self.width, self.heads, name="resblock")(x, causal)
+        return x, None
+
+
 class ClipTextTransformer(nn.Module):
     """CLIP text encoder: returns per-token features after ln_final.
 
@@ -106,8 +116,18 @@ class ClipTextTransformer(nn.Module):
         x = token_embedding[tokens] + positional_embedding[None, :T]
 
         causal = jnp.triu(jnp.full((T, T), -jnp.inf), k=1)
-        for i in range(c.layers):
-            x = ClipResBlock(c.width, c.heads, name=f"resblocks_{i}")(x, causal)
+        if getattr(c, "scan_layers", True):
+            stack = nn.scan(
+                _ClipScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast,),
+                length=c.layers,
+            )(c.width, c.heads, name="resblocks")
+            x, _ = stack(x, causal)
+        else:
+            for i in range(c.layers):
+                x = ClipResBlock(c.width, c.heads, name=f"resblocks_{i}")(x, causal)
         return LayerNormAffine(c.width, name="ln_final")(x)
 
 

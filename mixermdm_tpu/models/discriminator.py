@@ -15,6 +15,22 @@ from .embeddings import PositionalEncoding, TimestepEmbedder
 from .layers import TorchLinear
 
 
+class _SimpleScanBody(nn.Module):
+    latent_dim: int
+    num_heads: int
+    ff_size: int
+    dropout: float
+    train: bool
+
+    @nn.compact
+    def __call__(self, h, emb, kpm):
+        h = TransformerBlockSimple(
+            latent_dim=self.latent_dim, num_heads=self.num_heads,
+            ff_size=self.ff_size, dropout=self.dropout, name="block",
+        )(h, emb, kpm, self.train)
+        return h, None
+
+
 class DiscriminatorTransformer(nn.Module):
     input_feats: int
     latent_dim: int = 256
@@ -23,6 +39,7 @@ class DiscriminatorTransformer(nn.Module):
     num_heads: int = 4
     text_emb_dim: int = 768
     dropout: float = 0.0
+    scan_layers: bool = True
 
     @nn.compact
     def __call__(self, x, timesteps, mask=None, cond=None, train: bool = False):
@@ -40,13 +57,24 @@ class DiscriminatorTransformer(nn.Module):
             m = mask[..., 0] if mask.ndim == 3 else mask
             key_padding_mask = ~(m > 0.5)
 
-        for i in range(self.num_layers):
-            h = TransformerBlockSimple(
-                latent_dim=self.latent_dim,
-                num_heads=self.num_heads,
-                ff_size=self.ff_size,
-                dropout=self.dropout,
-                name=f"blocks_{i}",
-            )(h, cond_emb, key_padding_mask, train)
+        if self.scan_layers:
+            stack = nn.scan(
+                _SimpleScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.num_layers,
+            )(self.latent_dim, self.num_heads, self.ff_size, self.dropout,
+              train, name="blocks")
+            h, _ = stack(h, cond_emb, key_padding_mask)
+        else:
+            for i in range(self.num_layers):
+                h = TransformerBlockSimple(
+                    latent_dim=self.latent_dim,
+                    num_heads=self.num_heads,
+                    ff_size=self.ff_size,
+                    dropout=self.dropout,
+                    name=f"blocks_{i}",
+                )(h, cond_emb, key_padding_mask, train)
 
         return TorchLinear(1, name="out")(h)  # (B, T, 1) per-frame logits

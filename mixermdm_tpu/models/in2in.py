@@ -25,6 +25,34 @@ from .embeddings import PositionalEncoding, TimestepEmbedder
 from .layers import FinalLayer, TorchLinear
 
 
+class _DoubleCondScanBody(nn.Module):
+    """nn.scan body wrapping one TransformerBlockDoubleCond.
+
+    Carry = hidden state (possibly person-stacked at 2B); the cross-person
+    partner is the swapped half of the carry, recomputed per layer.
+    """
+
+    mode: str
+    latent_dim: int
+    num_heads: int
+    ff_size: int
+    dropout: float
+    swap_half: int      # 0 = no partner; else B (swap the stacked halves)
+    train: bool
+
+    @nn.compact
+    def __call__(self, h, emb, emb_inter, kpm):
+        partner = (
+            None if not self.swap_half
+            else jnp.concatenate([h[self.swap_half:], h[: self.swap_half]], axis=0)
+        )
+        h = TransformerBlockDoubleCond(
+            mode=self.mode, latent_dim=self.latent_dim, num_heads=self.num_heads,
+            ff_size=self.ff_size, dropout=self.dropout, name="block",
+        )(h, partner, emb, emb_inter, kpm, self.train)
+        return h, None
+
+
 class In2INDenoiser(nn.Module):
     """Text-conditioned motion denoiser (in2in.py:358-463).
 
@@ -45,6 +73,10 @@ class In2INDenoiser(nn.Module):
     num_heads: int = 8
     text_dim: int = 768
     dropout: float = 0.0
+    # nn.scan over layers: one compiled block body instead of num_layers
+    # unrolled copies — ~8x less trace/compile work; params stack under
+    # "blocks" with a leading layer axis (converters handle both layouts).
+    scan_layers: bool = True
 
     @nn.compact
     def __call__(self, x, timesteps, mask=None, cond=None, train: bool = False):
@@ -78,23 +110,44 @@ class In2INDenoiser(nn.Module):
             m = mask[..., 0] if mask.ndim == 3 else mask
             key_padding_mask = ~(m > 0.5)
 
-        blocks = [
-            TransformerBlockDoubleCond(
-                mode=self.mode,
-                latent_dim=self.latent_dim,
-                num_heads=self.num_heads,
-                ff_size=self.ff_size,
-                dropout=self.dropout,
-                name=f"blocks_{i}",
-            )
-            for i in range(self.num_layers)
-        ]
         final = FinalLayer(self.input_feats, name="out")
+        block_kw = dict(
+            mode=self.mode, latent_dim=self.latent_dim, num_heads=self.num_heads,
+            ff_size=self.ff_size, dropout=self.dropout,
+        )
+
+        def run_stack(h, swap_half, emb, emb_inter, kpm):
+            """All layers, either nn.scan'ed (one compiled body) or unrolled.
+
+            ``swap_half``: nonzero B for the cross-person partner swap.
+            """
+            if self.scan_layers:
+                stack = nn.scan(
+                    _DoubleCondScanBody,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                    length=self.num_layers,
+                )(
+                    mode=self.mode, latent_dim=self.latent_dim,
+                    num_heads=self.num_heads, ff_size=self.ff_size,
+                    dropout=self.dropout, swap_half=swap_half, train=train,
+                    name="blocks",
+                )
+                h, _ = stack(h, emb, emb_inter if emb_inter is not None else emb, kpm)
+                return h
+            for i in range(self.num_layers):
+                block = TransformerBlockDoubleCond(**block_kw, name=f"blocks_{i}")
+                partner = (
+                    None if not swap_half
+                    else jnp.concatenate([h[swap_half:], h[:swap_half]], axis=0)
+                )
+                h = block(h, partner, emb, emb_inter, kpm, train)
+            return h
 
         if single:
             h = pos_enc(motion_embed(x[..., : self.input_feats]))
-            for block in blocks:
-                h = block(h, None, emb_i1, None, key_padding_mask, train)
+            h = run_stack(h, 0, emb_i1, None, key_padding_mask)
             return final(h)
 
         x_a = x[..., : self.input_feats]
@@ -105,6 +158,11 @@ class In2INDenoiser(nn.Module):
             # ``h_b_prev`` is never updated, so person b's output is only the
             # LAST block applied to the raw embedding while person a runs the
             # full stack.  Reproduced faithfully for DualMDM checkpoint parity.
+            # (Always unrolled: person b needs just the last block's params.)
+            blocks = [
+                TransformerBlockDoubleCond(**block_kw, name=f"blocks_{i}")
+                for i in range(self.num_layers)
+            ]
             h_a = pos_enc(motion_embed(x_a))
             h_b0 = pos_enc(motion_embed(x_b))
             for block in blocks:
@@ -119,9 +177,6 @@ class In2INDenoiser(nn.Module):
         emb = jnp.concatenate([emb_i1, emb_i2], axis=0)
         emb_inter2 = jnp.concatenate([emb_inter, emb_inter], axis=0)
         kpm = jnp.concatenate([key_padding_mask, key_padding_mask], axis=0)
-        for block in blocks:
-            # Partner stream = the other stacked half from the previous layer.
-            partner = jnp.concatenate([h[B:], h[:B]], axis=0)
-            h = block(h, partner, emb, emb_inter2, kpm, train)
+        h = run_stack(h, B, emb, emb_inter2, kpm)
         out = final(h)
         return jnp.concatenate([out[:B], out[B:]], axis=-1)

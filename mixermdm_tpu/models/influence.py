@@ -24,6 +24,22 @@ from .blocks import InfluenceBlockCross
 from .layers import TorchLinear
 
 
+class _InfluenceScanBody(nn.Module):
+    latent_dim: int
+    num_heads: int
+    ff_size: int
+    dropout: float
+    train: bool
+
+    @nn.compact
+    def __call__(self, h, m_I, cond_i, cond_I, kpm):
+        h = InfluenceBlockCross(
+            latent_dim=self.latent_dim, num_heads=self.num_heads,
+            ff_size=self.ff_size, dropout=self.dropout, name="block",
+        )(h, m_I, cond_i, cond_I, kpm, self.train)
+        return h, None
+
+
 class Influence(nn.Module):
     input_shape: int
     n_blocks: int = 4
@@ -31,6 +47,7 @@ class Influence(nn.Module):
     ff_size: int = 1024
     mode: int = 4
     dropout: float = 0.0
+    scan_layers: bool = True
 
     @nn.compact
     def __call__(self, m_i, m_I, cond_i=None, cond_I=None, mask=None,
@@ -44,14 +61,25 @@ class Influence(nn.Module):
             key_padding_mask = ~(m > 0.5)
 
         h = m_i
-        for i in range(self.n_blocks):
-            h = InfluenceBlockCross(
-                latent_dim=self.input_shape,
-                num_heads=self.n_heads,
-                ff_size=self.ff_size,
-                dropout=self.dropout,
-                name=f"blocks_{i}",
-            )(h, m_I, cond_i, cond_I, key_padding_mask, train)
+        if self.scan_layers:
+            stack = nn.scan(
+                _InfluenceScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+                length=self.n_blocks,
+            )(self.input_shape, self.n_heads, self.ff_size, self.dropout,
+              train, name="blocks")
+            h, _ = stack(h, m_I, cond_i, cond_I, key_padding_mask)
+        else:
+            for i in range(self.n_blocks):
+                h = InfluenceBlockCross(
+                    latent_dim=self.input_shape,
+                    num_heads=self.n_heads,
+                    ff_size=self.ff_size,
+                    dropout=self.dropout,
+                    name=f"blocks_{i}",
+                )(h, m_I, cond_i, cond_I, key_padding_mask, train)
 
         if self.mode in (1, 3):
             h = h.mean(axis=1)  # global average pool over time

@@ -16,6 +16,24 @@ from .embeddings import PositionalEncoding, TimestepEmbedder
 from .layers import FinalLayer, TorchLinear
 
 
+class _InterScanBody(nn.Module):
+    latent_dim: int
+    num_heads: int
+    ff_size: int
+    dropout: float
+    swap_half: int
+    train: bool
+
+    @nn.compact
+    def __call__(self, h, emb, kpm):
+        partner = jnp.concatenate([h[self.swap_half:], h[: self.swap_half]], axis=0)
+        h = TransformerBlock(
+            latent_dim=self.latent_dim, num_heads=self.num_heads,
+            ff_size=self.ff_size, dropout=self.dropout, name="block",
+        )(h, partner, emb, kpm, self.train)
+        return h, None
+
+
 class InterDenoiser(nn.Module):
     input_feats: int
     latent_dim: int = 512
@@ -24,6 +42,7 @@ class InterDenoiser(nn.Module):
     num_heads: int = 8
     text_dim: int = 768
     dropout: float = 0.0
+    scan_layers: bool = True
 
     @nn.compact
     def __call__(self, x, timesteps, mask=None, cond=None, train: bool = False):
@@ -47,15 +66,26 @@ class InterDenoiser(nn.Module):
         emb2 = jnp.concatenate([emb, emb], axis=0)
         kpm = jnp.concatenate([key_padding_mask, key_padding_mask], axis=0)
 
-        for i in range(self.num_layers):
-            partner = jnp.concatenate([h[B:], h[:B]], axis=0)
-            h = TransformerBlock(
-                latent_dim=self.latent_dim,
-                num_heads=self.num_heads,
-                ff_size=self.ff_size,
-                dropout=self.dropout,
-                name=f"blocks_{i}",
-            )(h, partner, emb2, kpm, train)
+        if self.scan_layers:
+            stack = nn.scan(
+                _InterScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.num_layers,
+            )(self.latent_dim, self.num_heads, self.ff_size, self.dropout,
+              B, train, name="blocks")
+            h, _ = stack(h, emb2, kpm)
+        else:
+            for i in range(self.num_layers):
+                partner = jnp.concatenate([h[B:], h[:B]], axis=0)
+                h = TransformerBlock(
+                    latent_dim=self.latent_dim,
+                    num_heads=self.num_heads,
+                    ff_size=self.ff_size,
+                    dropout=self.dropout,
+                    name=f"blocks_{i}",
+                )(h, partner, emb2, kpm, train)
 
         out = FinalLayer(self.input_feats, name="out")(h)
         return jnp.concatenate([out[:B], out[B:]], axis=-1)

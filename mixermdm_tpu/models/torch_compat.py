@@ -63,17 +63,49 @@ class TorchEncoderLayer(nn.Module):
         return LayerNormAffine(self.d_model, name="norm2")(x + h)
 
 
+class _EncoderScanBody(nn.Module):
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    dropout: float
+    train: bool
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask, attn_mask):
+        x = TorchEncoderLayer(
+            self.d_model, self.nhead, self.dim_feedforward, self.dropout,
+            name="layer",
+        )(x, key_padding_mask, attn_mask, self.train)
+        return x, None
+
+
 class TorchEncoder(nn.Module):
-    """Stack of :class:`TorchEncoderLayer` (``nn.TransformerEncoder``)."""
+    """Stack of :class:`TorchEncoderLayer` (``nn.TransformerEncoder``).
+
+    ``scan_layers`` compiles ONE layer body via nn.scan (params stacked under
+    ``layers/layer``) instead of ``num_layers`` unrolled copies.
+    """
 
     d_model: int
     nhead: int
     dim_feedforward: int
     num_layers: int
     dropout: float = 0.0
+    scan_layers: bool = True
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, attn_mask=None, train: bool = False):
+        if self.scan_layers:
+            stack = nn.scan(
+                _EncoderScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.num_layers,
+            )(self.d_model, self.nhead, self.dim_feedforward, self.dropout,
+              train, name="layers")
+            x, _ = stack(x, key_padding_mask, attn_mask)
+            return x
         for i in range(self.num_layers):
             x = TorchEncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,

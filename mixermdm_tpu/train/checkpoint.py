@@ -153,8 +153,34 @@ def convert_transformer_block(sd, prefix: str, has_cross: bool = True) -> dict:
     return out
 
 
-def convert_in2in_denoiser(sd, prefix: str, num_layers: int, has_cross: bool) -> dict:
-    """in2INDenoiser / InterDenoiser state dict -> In2INDenoiser params."""
+def stack_layer_trees(trees: list) -> dict:
+    """Per-layer param trees -> one tree with a leading layer axis (the
+    nn.scan layout)."""
+
+    def stack(*leaves):
+        return np.stack([np.asarray(l) for l in leaves], axis=0)
+
+    import jax
+
+    return jax.tree_util.tree_map(stack, *trees)
+
+
+def unstack_layer_tree(tree: dict, num_layers: int) -> list:
+    import jax
+
+    return [
+        jax.tree_util.tree_map(lambda x: np.asarray(x)[i], tree)
+        for i in range(num_layers)
+    ]
+
+
+def convert_in2in_denoiser(sd, prefix: str, num_layers: int, has_cross: bool,
+                           scan_layers: bool = True) -> dict:
+    """in2INDenoiser / InterDenoiser state dict -> In2INDenoiser params.
+
+    ``scan_layers`` emits the nn.scan layout (stacked ``blocks/block``);
+    otherwise per-layer ``blocks_{i}`` subtrees.
+    """
     p = prefix + "." if prefix else ""
     out = {
         "embed_timestep": convert_timestep_embedder(sd, f"{p}embed_timestep"),
@@ -162,12 +188,20 @@ def convert_in2in_denoiser(sd, prefix: str, num_layers: int, has_cross: bool) ->
         "text_embed": convert_linear(sd, f"{p}text_embed"),
         "out": {"linear": convert_linear(sd, f"{p}out.linear")},
     }
-    for i in range(num_layers):
-        out[f"blocks_{i}"] = convert_transformer_block(sd, f"{p}blocks.{i}", has_cross)
+    layers = [
+        convert_transformer_block(sd, f"{p}blocks.{i}", has_cross)
+        for i in range(num_layers)
+    ]
+    if scan_layers:
+        out["blocks"] = {"block": stack_layer_trees(layers)}
+    else:
+        for i, tree in enumerate(layers):
+            out[f"blocks_{i}"] = tree
     return out
 
 
-def convert_discriminator(sd, prefix: str, num_layers: int) -> dict:
+def convert_discriminator(sd, prefix: str, num_layers: int,
+                          scan_layers: bool = True) -> dict:
     p = prefix + "." if prefix else ""
     out = {
         "embed_timestep": convert_timestep_embedder(sd, f"{p}embed_timestep"),
@@ -175,8 +209,15 @@ def convert_discriminator(sd, prefix: str, num_layers: int) -> dict:
         "text_embed": convert_linear(sd, f"{p}text_embed"),
         "out": convert_linear(sd, f"{p}out"),
     }
-    for i in range(num_layers):
-        out[f"blocks_{i}"] = convert_transformer_block(sd, f"{p}blocks.{i}", has_cross=False)
+    layers = [
+        convert_transformer_block(sd, f"{p}blocks.{i}", has_cross=False)
+        for i in range(num_layers)
+    ]
+    if scan_layers:
+        out["blocks"] = {"block": stack_layer_trees(layers)}
+    else:
+        for i, tree in enumerate(layers):
+            out[f"blocks_{i}"] = tree
     return out
 
 
@@ -191,11 +232,15 @@ def convert_torch_encoder_layer(sd, prefix: str) -> dict:
     }
 
 
-def convert_torch_encoder(sd, prefix: str, num_layers: int) -> dict:
-    return {
-        f"layers_{i}": convert_torch_encoder_layer(sd, f"{prefix}.layers.{i}")
+def convert_torch_encoder(sd, prefix: str, num_layers: int,
+                          scan_layers: bool = True) -> dict:
+    layers = [
+        convert_torch_encoder_layer(sd, f"{prefix}.layers.{i}")
         for i in range(num_layers)
-    }
+    ]
+    if scan_layers:
+        return {"layers": {"layer": stack_layer_trees(layers)}}
+    return {f"layers_{i}": tree for i, tree in enumerate(layers)}
 
 
 def convert_clip_post_encoder(sd, enc_prefix: str, ln_prefix: str, num_layers: int = 2) -> dict:
@@ -216,7 +261,8 @@ def convert_clip_resblock(sd, prefix: str) -> dict:
     }
 
 
-def convert_clip_text(sd, num_layers: int, prefix: str = "") -> dict:
+def convert_clip_text(sd, num_layers: int, prefix: str = "",
+                      scan_layers: bool = True) -> dict:
     """OpenAI CLIP text tower -> ClipTextTransformer params.
 
     Expects keys ``token_embedding.weight``, ``positional_embedding``,
@@ -228,20 +274,35 @@ def convert_clip_text(sd, num_layers: int, prefix: str = "") -> dict:
         "positional_embedding": sd[f"{p}positional_embedding"],
         "ln_final": convert_layernorm(sd, f"{p}ln_final"),
     }
-    for i in range(num_layers):
-        out[f"resblocks_{i}"] = convert_clip_resblock(sd, f"{p}transformer.resblocks.{i}")
+    layers = [
+        convert_clip_resblock(sd, f"{p}transformer.resblocks.{i}")
+        for i in range(num_layers)
+    ]
+    if scan_layers:
+        out["resblocks"] = {"resblock": stack_layer_trees(layers)}
+    else:
+        for i, tree in enumerate(layers):
+            out[f"resblocks_{i}"] = tree
     return out
 
 
-def convert_influence(sd, prefix: str, n_blocks: int) -> dict:
+def convert_influence(sd, prefix: str, n_blocks: int,
+                      scan_layers: bool = True) -> dict:
     p = prefix + "." if prefix else ""
     out = {"out": convert_linear(sd, f"{p}out")}
-    for i in range(n_blocks):
-        out[f"blocks_{i}"] = {
+    layers = [
+        {
             "sa_block": convert_self_attention(sd, f"{p}blocks.{i}.sa_block"),
             "ca_block": convert_cross_attention(sd, f"{p}blocks.{i}.ca_block"),
             "ffn": convert_ffn(sd, f"{p}blocks.{i}.ffn"),
         }
+        for i in range(n_blocks)
+    ]
+    if scan_layers:
+        out["blocks"] = {"block": stack_layer_trees(layers)}
+    else:
+        for i, tree in enumerate(layers):
+            out[f"blocks_{i}"] = tree
     return out
 
 
@@ -318,17 +379,29 @@ def export_transformer_block(p: dict, prefix: str, out: dict):
 
 
 def export_in2in_denoiser(params: dict, prefix: str = "") -> Dict[str, np.ndarray]:
-    """In2INDenoiser params -> torch-style state dict (reference key names)."""
+    """In2INDenoiser params -> torch-style state dict (reference key names).
+
+    Handles both the unrolled ``blocks_{i}`` and the nn.scan ``blocks/block``
+    (stacked) layouts.
+    """
     out: Dict[str, np.ndarray] = {}
     p = prefix + "." if prefix else ""
     export_timestep_embedder(params["embed_timestep"], f"{p}embed_timestep", out)
     export_linear(params["motion_embed"], f"{p}motion_embed", out)
     export_linear(params["text_embed"], f"{p}text_embed", out)
     export_linear(params["out"]["linear"], f"{p}out.linear", out)
-    i = 0
-    while f"blocks_{i}" in params:
-        export_transformer_block(params[f"blocks_{i}"], f"{p}blocks.{i}", out)
-        i += 1
+    if "blocks" in params:
+        stacked = params["blocks"]["block"]
+        import jax
+
+        num_layers = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        for i, tree in enumerate(unstack_layer_tree(stacked, num_layers)):
+            export_transformer_block(tree, f"{p}blocks.{i}", out)
+    else:
+        i = 0
+        while f"blocks_{i}" in params:
+            export_transformer_block(params[f"blocks_{i}"], f"{p}blocks.{i}", out)
+            i += 1
     return out
 
 
@@ -361,8 +434,11 @@ def convert_in2in_system(sd: Dict[str, np.ndarray], mode: str, num_layers: int =
             sd, "clipTransEncoder_interaction", "clip_ln_interaction"
         )
     if mode in ("individual", "dual"):
+        # dual_individual keeps the unrolled layout (its person-b quirk needs
+        # direct access to the last block — see models/in2in.py).
         params["denoiser_individual"] = convert_in2in_denoiser(
-            sd, "decoder.net_individual", num_layers, has_cross=mode == "dual"
+            sd, "decoder.net_individual", num_layers, has_cross=mode == "dual",
+            scan_layers=mode != "dual",
         )
         params["text"]["post_individual"] = convert_clip_post_encoder(
             sd, "clipTransEncoder_individual", "clip_ln_individual"
