@@ -35,9 +35,9 @@ def main(argv=None):
         clip_cfg = ClipTextConfig.tiny(width=64)
         args.window = 16
     else:
-        cfg = get_config(args.model) if args.model else tiny_config(
-            latent=512, layers=8, heads=4, diffusion_steps=1000
-        )
+        from ..config import MDM_DEFAULT
+
+        cfg = get_config(args.model) if args.model else MDM_DEFAULT
         clip_cfg = ClipTextConfig.vit_b_32()
 
     system = MDMSystem(cfg, clip_cfg=clip_cfg)

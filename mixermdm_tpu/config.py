@@ -120,6 +120,30 @@ MIXERMDM_DEFAULT = Config.wrap(
     }
 )
 
+MDM_DEFAULT = Config.wrap(
+    {
+        "NAME": "MDM",
+        "NUM_LAYERS": 8, "NUM_HEADS": 4, "DROPOUT": 0.1,
+        "INPUT_DIM": 262, "LATENT_DIM": 512, "FF_SIZE": 1024,
+        "ACTIVATION": "gelu", "CHECKPOINT": "checkpoints/mdm.ckpt",
+        "DIFFUSION_STEPS": 1000, "BETA_SCHEDULER": "cosine", "SAMPLER": "uniform",
+        "MOTION_REP": "global", "T_BAR": 700, "STRATEGY": "ddim50",
+        "CFG_WEIGHT": 2.5,
+    }
+)
+
+INTERGEN_DEFAULT = Config.wrap(
+    {
+        "NAME": "InterGen",
+        "NUM_LAYERS": 8, "NUM_HEADS": 8, "DROPOUT": 0.1,
+        "INPUT_DIM": 262, "LATENT_DIM": 1024, "FF_SIZE": 2048,
+        "ACTIVATION": "gelu", "CHECKPOINT": "checkpoints/intergen.ckpt",
+        "DIFFUSION_STEPS": 1000, "BETA_SCHEDULER": "cosine", "SAMPLER": "uniform",
+        "MOTION_REP": "global", "T_BAR": 700, "STRATEGY": "ddim50",
+        "CFG_WEIGHT": 3.5,
+    }
+)
+
 MIXERMDM_TRAIN_DEFAULT = Config.wrap(
     {
         "GENERAL": {"EXP_NAME": "mixermdm-tpu", "CHECKPOINT": "./checkpoints", "LOG_DIR": "./log"},
