@@ -47,16 +47,6 @@ def use_pallas_attention() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def lecun_or_torch_linear_init():
-    """torch ``nn.Linear`` default init: U(-1/sqrt(fan_in), +1/sqrt(fan_in))."""
-    def init(key, shape, dtype=jnp.float32):
-        import jax
-        fan_in = shape[0]
-        bound = 1.0 / jnp.sqrt(fan_in)
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
-    return init
-
-
 class TorchLinear(nn.Module):
     """Dense layer with torch's default init (keeps init-scale parity)."""
 

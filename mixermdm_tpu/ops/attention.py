@@ -82,7 +82,6 @@ def _attn_kernel_qk(q_ref, k_ref, v_ref, kbias_ref, qkbias_ref, out_ref, *, scal
                scale=scale, zero_attn=zero_attn)
 
 
-@functools.partial(jax.jit, static_argnames=("zero_attn", "interpret"))
 def fused_attention(
     q: jnp.ndarray,                 # (B, H, Tq, D)
     k: jnp.ndarray,                 # (B, H, Tk, D)
@@ -91,6 +90,104 @@ def fused_attention(
     attn_mask=None,                 # (Tq, Tk) additive float mask
     zero_attn: bool = True,
     interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable fused attention: Pallas kernel forward, XLA-recompute
+    backward (``custom_vjp`` — Pallas kernels have no autodiff rule)."""
+    if key_padding_mask is None and attn_mask is None:
+        return _fa_nomask(q, k, v, zero_attn, interpret)
+    if attn_mask is None:
+        return _fa_kpm(q, k, v, key_padding_mask, zero_attn, interpret)
+    if key_padding_mask is None:
+        return _fa_am(q, k, v, attn_mask, zero_attn, interpret)
+    return _fa_both(q, k, v, key_padding_mask, attn_mask, zero_attn, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fa_nomask(q, k, v, zero_attn, interpret):
+    return _fused_attention_impl(q, k, v, None, None, zero_attn, interpret)
+
+
+def _fa_nomask_fwd(q, k, v, zero_attn, interpret):
+    return _fa_nomask(q, k, v, zero_attn, interpret), (q, k, v)
+
+
+def _fa_nomask_bwd(zero_attn, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: reference_attention(a, b, c, zero_attn=zero_attn), q, k, v)
+    return vjp(g)
+
+
+_fa_nomask.defvjp(_fa_nomask_fwd, _fa_nomask_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fa_kpm(q, k, v, kpm, zero_attn, interpret):
+    return _fused_attention_impl(q, k, v, kpm, None, zero_attn, interpret)
+
+
+def _fa_kpm_fwd(q, k, v, kpm, zero_attn, interpret):
+    return _fa_kpm(q, k, v, kpm, zero_attn, interpret), (q, k, v, kpm)
+
+
+def _fa_kpm_bwd(zero_attn, interpret, res, g):
+    q, k, v, kpm = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: reference_attention(a, b, c, key_padding_mask=kpm, zero_attn=zero_attn),
+        q, k, v,
+    )
+    return vjp(g) + (None,)
+
+
+_fa_kpm.defvjp(_fa_kpm_fwd, _fa_kpm_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fa_am(q, k, v, am, zero_attn, interpret):
+    return _fused_attention_impl(q, k, v, None, am, zero_attn, interpret)
+
+
+def _fa_am_fwd(q, k, v, am, zero_attn, interpret):
+    return _fa_am(q, k, v, am, zero_attn, interpret), (q, k, v, am)
+
+
+def _fa_am_bwd(zero_attn, interpret, res, g):
+    q, k, v, am = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: reference_attention(a, b, c, attn_mask=am, zero_attn=zero_attn),
+        q, k, v,
+    )
+    return vjp(g) + (None,)
+
+
+_fa_am.defvjp(_fa_am_fwd, _fa_am_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fa_both(q, k, v, kpm, am, zero_attn, interpret):
+    return _fused_attention_impl(q, k, v, kpm, am, zero_attn, interpret)
+
+
+def _fa_both_fwd(q, k, v, kpm, am, zero_attn, interpret):
+    return _fa_both(q, k, v, kpm, am, zero_attn, interpret), (q, k, v, kpm, am)
+
+
+def _fa_both_bwd(zero_attn, interpret, res, g):
+    q, k, v, kpm, am = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: reference_attention(
+            a, b, c, key_padding_mask=kpm, attn_mask=am, zero_attn=zero_attn
+        ),
+        q, k, v,
+    )
+    return vjp(g) + (None, None)
+
+
+_fa_both.defvjp(_fa_both_fwd, _fa_both_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("zero_attn", "interpret"))
+def _fused_attention_impl(
+    q, k, v, key_padding_mask, attn_mask, zero_attn: bool = True, interpret: bool = False
 ) -> jnp.ndarray:
     B, H, Tq, D = q.shape
     Tk = k.shape[2]

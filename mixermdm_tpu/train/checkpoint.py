@@ -484,6 +484,35 @@ def convert_mixermdm_system(sd: Dict[str, np.ndarray], mixer_blocks: int = 4,
     return params
 
 
+def convert_interclip(sd: Dict[str, np.ndarray], num_layers: int = 8,
+                      text_layers: int = 8) -> dict:
+    """Reference InterCLIP evaluator checkpoint -> InterCLIP params
+    (evaluation/models.py:7-130: motion_encoder tower, text tower, heads)."""
+    me = "motion_encoder."
+    params = {
+        "motion_encoder": {
+            "query_token": sd[f"{me}query_token"],
+            "embed_motion": {
+                "kernel": _t(sd[f"{me}embed_motion.weight"]),
+                "bias": sd[f"{me}embed_motion.bias"],
+            },
+            "transformer": convert_torch_encoder(sd, f"{me}transformer", num_layers),
+            "out_ln": convert_layernorm(sd, f"{me}out_ln"),
+            "out": {
+                "kernel": _t(sd[f"{me}out.weight"]),
+                "bias": sd[f"{me}out.bias"],
+            },
+        },
+        "token_embedding": sd["token_embedding.weight"],
+        "positional_embedding": sd["positional_embedding"],
+        "latent_scale": np.asarray(sd["latent_scale"]).reshape(()),
+        "text_encoder": convert_torch_encoder(sd, "textTransEncoder", text_layers),
+        "text_ln": convert_layernorm(sd, "text_ln"),
+        "text_out": {"kernel": _t(sd["out.weight"]), "bias": sd["out.bias"]},
+    }
+    return params
+
+
 def convert_mdm_denoiser(sd, num_layers: int, prefix: str = "model") -> dict:
     p = prefix + "." if prefix else ""
     return {

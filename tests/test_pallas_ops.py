@@ -62,3 +62,25 @@ class TestFusedAttention:
         want = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), v2)
         got = reference_attention(q, k, v, zero_attn=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+class TestFusedAttentionGrad:
+    def test_grad_matches_reference(self):
+        q, k, v = rand(20, (B, H, T, D)), rand(21, (B, H, T, D)), rand(22, (B, H, T, D))
+        kpm = jnp.zeros((B, T), bool).at[:, -5:].set(True)
+
+        def loss_pl(q, k, v):
+            return (fused_attention(q, k, v, key_padding_mask=kpm, interpret=True) ** 2).sum()
+
+        def loss_ref(q, k, v):
+            return (reference_attention(q, k, v, key_padding_mask=kpm) ** 2).sum()
+
+        g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_pl, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_grad_nomask(self):
+        q, k, v = rand(23, (1, 2, 8, D)), rand(24, (1, 2, 8, D)), rand(25, (1, 2, 8, D))
+        g = jax.grad(lambda q: (fused_attention(q, k, v, interpret=True) ** 2).sum())(q)
+        assert bool(jnp.isfinite(g).all())
