@@ -35,6 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Test hook: force interpret-mode execution of the kernel (lets the CPU test
+# mesh exercise the full Pallas path, including its custom_vjp dispatch).
+FORCE_INTERPRET = False
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -93,6 +97,7 @@ def fused_attention(
 ) -> jnp.ndarray:
     """Differentiable fused attention: Pallas kernel forward, XLA-recompute
     backward (``custom_vjp`` — Pallas kernels have no autodiff rule)."""
+    interpret = interpret or FORCE_INTERPRET
     if key_padding_mask is None and attn_mask is None:
         return _fa_nomask(q, k, v, zero_attn, interpret)
     if attn_mask is None:

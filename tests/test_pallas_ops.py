@@ -84,3 +84,43 @@ class TestFusedAttentionGrad:
         q, k, v = rand(23, (1, 2, 8, D)), rand(24, (1, 2, 8, D)), rand(25, (1, 2, 8, D))
         g = jax.grad(lambda q: (fused_attention(q, k, v, interpret=True) ** 2).sum())(q)
         assert bool(jnp.isfinite(g).all())
+
+
+class TestPallasPathEndToEnd:
+    def test_training_step_through_pallas_interpret(self):
+        """Run a tiny adversarial G step with the Pallas attention path forced
+        (interpret mode on CPU) — guards against kernel-only autodiff or
+        dispatch bugs that the default CPU path cannot see."""
+        import sys as _s, os
+
+        _s.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from mixermdm_tpu.models import layers as L
+        from mixermdm_tpu.ops import attention as A
+        from __graft_entry__ import _tiny_system
+
+        L.set_pallas_attention(True)
+        A.FORCE_INTERPRET = True
+        try:
+            system = _tiny_system()
+            params = system.init_params(jax.random.PRNGKey(0))
+            params = jax.tree_util.tree_map(
+                lambda x: x + 0.01 * jax.random.normal(jax.random.PRNGKey(9), x.shape),
+                params,
+            )
+            cond = jax.random.normal(jax.random.PRNGKey(1), (2, 8 * system.text_dim))
+            motions = jax.random.normal(jax.random.PRNGKey(2), (2, 12, 524)) * 0.1
+            lens = jnp.asarray([10, 8])
+
+            def loss(p):
+                return system._loss_impl(
+                    p, motions, lens, cond, jax.random.PRNGKey(3),
+                    mode="generator", i_loss_factor=1.0, I_loss_factor=2.0,
+                    l1=0.1, cond_mask_prob=0.0,
+                )["total"]
+
+            g = jax.grad(loss)(params)
+            total = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g["core"]))
+            assert np.isfinite(total) and total > 0
+        finally:
+            L.set_pallas_attention(None)
+            A.FORCE_INTERPRET = False
