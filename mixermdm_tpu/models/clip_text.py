@@ -118,7 +118,7 @@ class ClipTextTransformer(nn.Module):
         causal = jnp.triu(jnp.full((T, T), -jnp.inf), k=1)
         if getattr(c, "scan_layers", True):
             stack = nn.scan(
-                _ClipScanBody,
+                nn.remat(_ClipScanBody, prevent_cse=False),
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast,),

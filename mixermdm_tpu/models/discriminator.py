@@ -59,7 +59,7 @@ class DiscriminatorTransformer(nn.Module):
 
         if self.scan_layers:
             stack = nn.scan(
-                _SimpleScanBody,
+                nn.remat(_SimpleScanBody, prevent_cse=False),
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast),

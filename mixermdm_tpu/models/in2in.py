@@ -123,7 +123,7 @@ class In2INDenoiser(nn.Module):
             """
             if self.scan_layers:
                 stack = nn.scan(
-                    _DoubleCondScanBody,
+                    nn.remat(_DoubleCondScanBody, prevent_cse=False),
                     variable_axes={"params": 0},
                     split_rngs={"params": True, "dropout": True},
                     in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),

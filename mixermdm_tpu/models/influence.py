@@ -63,7 +63,7 @@ class Influence(nn.Module):
         h = m_i
         if self.scan_layers:
             stack = nn.scan(
-                _InfluenceScanBody,
+                nn.remat(_InfluenceScanBody, prevent_cse=False),
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),

@@ -68,7 +68,7 @@ class InterDenoiser(nn.Module):
 
         if self.scan_layers:
             stack = nn.scan(
-                _InterScanBody,
+                nn.remat(_InterScanBody, prevent_cse=False),
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast),

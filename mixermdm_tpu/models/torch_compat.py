@@ -97,7 +97,7 @@ class TorchEncoder(nn.Module):
     def __call__(self, x, key_padding_mask=None, attn_mask=None, train: bool = False):
         if self.scan_layers:
             stack = nn.scan(
-                _EncoderScanBody,
+                nn.remat(_EncoderScanBody, prevent_cse=False),
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast),
