@@ -99,7 +99,17 @@ class MixerTrainer:
             return losses["total"], losses
 
         train_params = _subset(state.params, keys)
-        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
+        # Trace-time: XLA attention for training — the Pallas kernel's
+        # custom_vjp recompute stacks on top of layer remat and loses ~15%
+        # (measured 584 vs 687 ms/step at full size).
+        from ..models import layers as _L
+
+        _old = _L._PALLAS_ATTENTION
+        _L.set_pallas_attention(False)
+        try:
+            (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
+        finally:
+            _L.set_pallas_attention(_old)
         updates, new_opt_state = opt.update(grads, opt_state, train_params)
         new_params = _merge(state.params, optax.apply_updates(train_params, updates))
 
@@ -184,7 +194,14 @@ class BaseTrainer:
             return losses["total"], losses
 
         train_params = _subset(state.params, keys)
-        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
+        from ..models import layers as _L
+
+        _old = _L._PALLAS_ATTENTION
+        _L.set_pallas_attention(False)
+        try:
+            (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
+        finally:
+            _L.set_pallas_attention(_old)
         updates, new_opt = self.opt.update(grads, state.opt_state, train_params)
         new_params = _merge(state.params, optax.apply_updates(train_params, updates))
         return (
