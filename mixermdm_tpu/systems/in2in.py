@@ -89,6 +89,10 @@ class In2INSystem:
         else:
             self.normalizer = hml3d_normalizer(data_root)
 
+        import jax as _jax
+        self.compute_dtype = (
+            jnp.bfloat16 if _jax.default_backend() == "tpu" else None
+        )
         self._jit_sample = {}
 
     # ------------------------------------------------------------------ params
@@ -118,10 +122,17 @@ class In2INSystem:
             params[f"denoiser_{name}"] = d.init(rngs[1 + i], x, t, None, cond)["params"]
         return params
 
-    def denoiser_apply(self, name: str):
+    def denoiser_apply(self, name: str, cast: bool = False):
+        """Bound apply fn; ``cast`` runs the transformer in ``compute_dtype``
+        (bf16 on TPU) with f32 in/out at the boundary."""
         d = self.denoisers[name]
+        cd = self.compute_dtype if cast else None
 
         def apply(p, x, t, mask, cond, train=False, rngs=None):
+            if cd is not None:
+                out = d.apply({"params": p}, x.astype(cd), t, mask,
+                              cond.astype(cd), train=train, rngs=rngs)
+                return out.astype(jnp.float32)
             return d.apply({"params": p}, x, t, mask, cond, train=train, rngs=rngs)
 
         return apply
@@ -228,7 +239,7 @@ class In2INSystem:
     def _sample_impl(self, params, cond, rng, *, n_frames):
         B = cond.shape[0]
         if self.mode == "interaction":
-            apply = self.denoiser_apply("interaction")
+            apply = self.denoiser_apply("interaction", cast=True)
             dparams = params["denoiser_interaction"]
             model = cfg_model_multiple(
                 lambda x, t, m, c: apply(dparams, x, t, m, c),
@@ -238,15 +249,15 @@ class In2INSystem:
             )
             shape = (B, n_frames, self.nfeats * 2)
         elif self.mode == "individual":
-            apply = self.denoiser_apply("individual")
+            apply = self.denoiser_apply("individual", cast=True)
             dparams = params["denoiser_individual"]
             model = cfg_model(
                 lambda x, t, m, c: apply(dparams, x, t, m, c), float(self.cfg.CFG_WEIGHT)
             )
             shape = (B, n_frames, self.nfeats)
         else:  # dual = DualMDM composition baseline
-            a_ind = self.denoiser_apply("individual")
-            a_int = self.denoiser_apply("interaction")
+            a_ind = self.denoiser_apply("individual", cast=True)
+            a_int = self.denoiser_apply("interaction", cast=True)
             p_ind = params["denoiser_individual"]
             p_int = params["denoiser_interaction"]
             model = cfg_dual_mdm(

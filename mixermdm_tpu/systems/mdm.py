@@ -53,6 +53,10 @@ class MDMSystem:
         )
         self.normalizer = normalizer if normalizer is not None else hml3d_normalizer(data_root)
         self.tokenizer = default_tokenizer()
+        import jax as _jax
+        self.compute_dtype = (
+            jnp.bfloat16 if _jax.default_backend() == "tpu" else None
+        )
         self._jit_sample = {}
 
     def init_params(self, rng):
@@ -91,10 +95,15 @@ class MDMSystem:
         ).astype(jnp.float32)
         return self.embed_text.apply({"params": params["embed_text"]}, feats)
 
-    def denoiser_apply(self):
+    def denoiser_apply(self, cast: bool = False):
         d = self.denoiser
+        cd = self.compute_dtype if cast else None
 
         def apply(p, x, t, mask, cond, train=False, rngs=None):
+            if cd is not None:
+                out = d.apply({"params": p}, x.astype(cd), t, mask,
+                              cond.astype(cd), train=train, rngs=rngs)
+                return out.astype(jnp.float32)
             return d.apply({"params": p}, x, t, mask, cond, train=train, rngs=rngs)
 
         return apply
@@ -134,7 +143,7 @@ class MDMSystem:
 
     def _sample_impl(self, params, cond, rng, *, n_frames):
         B = cond.shape[0]
-        apply = self.denoiser_apply()
+        apply = self.denoiser_apply(cast=True)
         dparams = params["denoiser"]
         model = cfg_model(
             lambda x, t, m, c: apply(dparams, x, t, m, c), float(self.cfg.CFG_WEIGHT)
