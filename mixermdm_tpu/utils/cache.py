@@ -18,6 +18,10 @@ def enable_compilation_cache(path: str | None = None) -> None:
         "MIXERMDM_JAX_CACHE", os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
     )
     try:
+        # Namespace per platform config: CPU AOT artifacts are host-machine
+        # specific and must not be shared with TPU entries (or across hosts).
+        tag = jax.config.jax_platforms or "default"
+        path = os.path.join(path, tag.replace(",", "-"))
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
