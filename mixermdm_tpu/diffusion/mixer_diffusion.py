@@ -26,17 +26,21 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from ..utils.alignment import center_motion, ih_to_smpl, smpl_to_ih
+from ..utils.alignment import center_person_fast
 from ..utils.normalizer import Normalizer
 from .gaussian import extract, predict_eps_from_xstart, q_sample
 from .schedule import DiffusionSchedule
 
 
 def center_person(x, align: bool):
-    """ih -> smpl -> center -> ih per person (contacts zeroed, as upstream)."""
+    """ih -> smpl -> center -> ih per person (contacts zeroed, as upstream).
+
+    Uses the fast algebraic path (utils.alignment.center_person_fast):
+    identical output to the reference chain minus the axis-angle detour.
+    """
     if not align:
         return x
-    return smpl_to_ih(center_motion(ih_to_smpl(x)))
+    return center_person_fast(x)
 
 
 def process_xstart_dual(

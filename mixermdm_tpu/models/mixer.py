@@ -25,7 +25,7 @@ from typing import Any, Callable, Optional
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..utils.alignment import align_motions, ih_to_smpl, smpl_to_ih
+from ..utils.alignment import align_persons_fast
 from ..utils.normalizer import Normalizer
 from .embeddings import PositionalEncoding, TimestepEmbedder
 from .influence import Influence, expand_influence
@@ -193,13 +193,13 @@ def make_mixer_forward(
 
         # --- align individual outputs onto interaction trajectories ---
         if cfg.align:
-            # Stack persons: one ih_to_smpl/align/smpl_to_ih over 2B batch.
-            o1 = ih_to_smpl(jnp.concatenate([out1_1, out1_2], axis=0))
-            o2 = ih_to_smpl(jnp.concatenate([out2_1, out2_2], axis=0))
+            # Stack persons (2B) and take the fast algebraic path — identical
+            # output to the reference's ih_to_smpl/align_motions/smpl_to_ih
+            # chain, minus the axis-angle detour (see utils.alignment).
+            o1 = jnp.concatenate([out1_1, out1_2], axis=0)
+            o2 = jnp.concatenate([out2_1, out2_2], axis=0)
             am = None if mask is None else jnp.concatenate([mask, mask], axis=0)
-            _, o1_aligned = align_motions(o2, o1, am)
-            o1_ih = smpl_to_ih(o1_aligned)
-            o2_ih = smpl_to_ih(o2)
+            o2_ih, o1_ih = align_persons_fast(o2, o1, am)
             out1_1, out1_2 = o1_ih[:B], o1_ih[B:]
             out2_1, out2_2 = o2_ih[:B], o2_ih[B:]
 

@@ -35,6 +35,86 @@ from .rotations import (
 from .constants import FACE_JOINT_INDX
 
 
+def orthonormalize_rot6d(motion: jnp.ndarray) -> jnp.ndarray:
+    """Replace the 126 rot6d dims by their Gram-Schmidt projection.
+
+    Algebraically identical to the reference's rot6d -> axis-angle -> rot6d
+    round trip through ``ih_to_smpl``/``smpl_to_ih`` (the sign flips cancel
+    and matrix<->axis-angle is exact for rotation matrices), but skips the
+    trig-heavy axis-angle conversions — this runs 100x per sample inside the
+    DDIM scan.
+    """
+    lead = motion.shape[:-1]
+    rot = motion[..., 132:258].reshape(lead + (21, 6))
+    rot = matrix_to_rotation_6d(rotation_6d_to_matrix(rot)).reshape(lead + (126,))
+    return jnp.concatenate([motion[..., :132], rot, motion[..., 258:]], axis=-1)
+
+
+def center_person_fast(motion: jnp.ndarray) -> jnp.ndarray:
+    """Fast path for ``smpl_to_ih(center_motion(ih_to_smpl(x)))`` on (B,T,262).
+
+    Equivalent output: centred positions/velocities, orthonormalised
+    rotations, contacts zeroed (the reference chain's contact-drop quirk).
+    """
+    B, T = motion.shape[:2]
+    pos = motion[..., :66].reshape(B, T, 22, 3)
+    vel = motion[..., 66:132].reshape(B, T, 22, 3)
+
+    floor = pos[..., 1].min(axis=(1, 2))
+    pos = pos.at[..., 1].add(-floor[:, None, None])
+    root_init = pos[:, 0]
+    root_xz = root_init[:, 0] * jnp.asarray([1.0, 0.0, 1.0], dtype=motion.dtype)
+    pos = pos - root_xz[:, None, None, :]
+
+    r_hip, l_hip = FACE_JOINT_INDX[:2]
+    across = root_init[:, r_hip] - root_init[:, l_hip]
+    across = across / jnp.sqrt((across**2).sum(axis=-1, keepdims=True) + 1e-12)
+    up = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], dtype=motion.dtype), across.shape)
+    forward = jnp.cross(up, across)
+    forward = forward / jnp.sqrt((forward**2).sum(axis=-1, keepdims=True) + 1e-12)
+    target = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dtype=motion.dtype), forward.shape)
+    root_quat = qbetween(forward, target)
+    root_quat = jnp.broadcast_to(root_quat[:, None, None, :], (B, T, 22, 4))
+    pos = qrot(root_quat, pos)
+    vel = qrot(root_quat, vel)
+
+    rot = orthonormalize_rot6d(motion)[..., 132:258]
+    contacts = jnp.zeros(motion.shape[:-1] + (4,), motion.dtype)
+    return jnp.concatenate(
+        [pos.reshape(B, T, 66), vel.reshape(B, T, 66), rot, contacts], axis=-1
+    )
+
+
+def align_persons_fast(ref262: jnp.ndarray, mov262: jnp.ndarray, mask=None):
+    """Fast path for the mixer's per-step ``ih_to_smpl -> align_motions ->
+    smpl_to_ih`` pair on (B, T, 262) person streams.
+
+    Returns ``(ref_out, mov_out)`` matching the reference chain: the moving
+    stream is position+heading aligned with contacts zeroed; the reference
+    stream passes through with rotations orthonormalised and contacts kept.
+    """
+    B, T = ref262.shape[:2]
+    pos_r = ref262[..., :66].reshape(B, T, 22, 3)
+    pos_m = mov262[..., :66].reshape(B, T, 22, 3)
+    vel_m = mov262[..., 66:132].reshape(B, T, 22, 3)
+
+    delta = pos_r[:, 0, 0] - pos_m[:, 0, 0]
+    pos_m = pos_m + delta[:, None, None, :]
+    alignment = align_trajectories(pos_r[:, :, 0], pos_m[:, :, 0], mask)
+    pos_m = qrot(alignment, pos_m)
+    delta = pos_r[:, 0, 0] - pos_m[:, 0, 0]
+    pos_m = pos_m + delta[:, None, None, :]
+    vel_m = qrot(alignment, vel_m)
+
+    mov_rot = orthonormalize_rot6d(mov262)[..., 132:258]
+    zeros = jnp.zeros((B, T, 4), mov262.dtype)
+    mov_out = jnp.concatenate(
+        [pos_m.reshape(B, T, 66), vel_m.reshape(B, T, 66), mov_rot, zeros], axis=-1
+    )
+    ref_out = orthonormalize_rot6d(ref262)
+    return ref_out, mov_out
+
+
 def ih_to_smpl(motion: jnp.ndarray) -> jnp.ndarray:
     """(..., T, 262) IH -> (..., T, 205) SMPL (alignment.py:11-39)."""
     lead = motion.shape[:-1]

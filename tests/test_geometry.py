@@ -145,3 +145,44 @@ class TestAlignment:
         out = f(m)
         assert out.shape == m.shape
         assert bool(jnp.isfinite(out).all())
+
+
+class TestFastGeometryEquivalence:
+    """The fast algebraic paths must match the reference-faithful chains."""
+
+    def test_center_person_fast(self):
+        from mixermdm_tpu.utils.alignment import center_person_fast
+
+        rng = np.random.default_rng(11)
+        m = make_motion(rng, B=3, T=10)
+        slow = A.smpl_to_ih(A.center_motion(A.ih_to_smpl(m)))
+        fast = center_person_fast(m)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=2e-4)
+
+    def test_align_persons_fast(self):
+        from mixermdm_tpu.utils.alignment import align_persons_fast
+
+        rng = np.random.default_rng(12)
+        ref = make_motion(rng, B=2, T=10)
+        mov = make_motion(rng, B=2, T=10)
+        o_ref = A.ih_to_smpl(ref)
+        o_mov = A.ih_to_smpl(mov)
+        _, aligned = A.align_motions(o_ref, o_mov)
+        slow_mov = A.smpl_to_ih(aligned)
+        slow_ref = A.smpl_to_ih(o_ref)
+        fast_ref, fast_mov = align_persons_fast(ref, mov)
+        np.testing.assert_allclose(np.asarray(fast_mov), np.asarray(slow_mov), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(fast_ref), np.asarray(slow_ref), atol=2e-4)
+
+    def test_align_persons_fast_with_mask(self):
+        from mixermdm_tpu.utils.alignment import align_persons_fast
+
+        rng = np.random.default_rng(13)
+        ref = make_motion(rng, B=2, T=10)
+        mov = make_motion(rng, B=2, T=10)
+        mask = jnp.ones((2, 10, 1)).at[0, 7:].set(0.0)
+        o_ref, o_mov = A.ih_to_smpl(ref), A.ih_to_smpl(mov)
+        _, aligned = A.align_motions(o_ref, o_mov, mask)
+        slow_mov = A.smpl_to_ih(aligned)
+        _, fast_mov = align_persons_fast(ref, mov, mask)
+        np.testing.assert_allclose(np.asarray(fast_mov), np.asarray(slow_mov), atol=2e-4)
