@@ -35,6 +35,7 @@ class InterGenSystem:
         self.cfg = cfg
         self.nfeats = int(cfg.INPUT_DIM)
         self.text = TextPipeline(clip_cfg, heads=("interaction",))
+        self.text_dim = self.text.clip_cfg.width
         self.denoiser = InterDenoiser(
             input_feats=self.nfeats,
             latent_dim=int(cfg.LATENT_DIM),
@@ -42,6 +43,7 @@ class InterGenSystem:
             num_layers=int(cfg.NUM_LAYERS),
             num_heads=int(cfg.NUM_HEADS),
             dropout=float(cfg.get("DROPOUT", 0.0)),
+            text_dim=self.text_dim,
         )
         steps = int(cfg.DIFFUSION_STEPS)
         self.train_schedule = named_schedule(cfg.BETA_SCHEDULER, steps)
@@ -68,12 +70,15 @@ class InterGenSystem:
         params = {"text": self.text.init_params(r1)}
         x = jnp.zeros((1, 8, 2 * self.nfeats))
         params["denoiser"] = self.denoiser.init(
-            r2, x, jnp.zeros((1,), jnp.int32), None, jnp.zeros((1, 768))
+            r2, x, jnp.zeros((1,), jnp.int32), None, jnp.zeros((1, self.text_dim))
         )["params"]
         return params
 
     def text_process(self, params, texts, mode="interaction"):
         return self.text.encode_texts(params["text"], texts, head="interaction")
+
+    def encode_cond_tokens(self, params, batch_tokens: dict):
+        return self.text.encode(params["text"], batch_tokens["tokens"], "interaction")
 
     def denoiser_apply(self, cast: bool = False):
         d = self.denoiser

@@ -1,0 +1,102 @@
+"""System tests for the remaining model families: MDM, InterGen, DualMDM."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mixermdm_tpu.config import tiny_config
+from mixermdm_tpu.models.clip_text import ClipTextConfig
+from mixermdm_tpu.systems import In2INSystem, InterGenSystem, MDMSystem, load_dualmdm
+
+TINY_CLIP = ClipTextConfig.tiny()
+T, B = 12, 2
+
+
+def tiny_cfg(**kw):
+    c = tiny_config(latent=32, layers=1, heads=2, diffusion_steps=8)
+    c.update(kw)
+    return c
+
+
+class TestMDMSystem:
+    @pytest.fixture(scope="class")
+    def sys_params(self):
+        sys_ = MDMSystem(tiny_cfg(), clip_cfg=TINY_CLIP)
+        return sys_, sys_.init_params(jax.random.PRNGKey(0))
+
+    def test_text_process_layout(self, sys_params):
+        sys_, params = sys_params
+        cond = sys_.text_process(params, ["a person walks"] * B)
+        assert cond.shape == (B, 32)  # projected to LATENT_DIM
+
+    def test_sample(self, sys_params):
+        sys_, params = sys_params
+        out = sys_.forward_test(
+            params, {"text": ["a person walks"] * B, "motion_lens": np.asarray([T] * B)},
+            jax.random.PRNGKey(1),
+        )
+        assert out.shape == (B, T, 262)
+        assert bool(jnp.isfinite(out).all())
+
+    def test_loss(self, sys_params):
+        sys_, params = sys_params
+        cond = sys_.text_process(params, ["x"] * B)
+        losses = sys_.compute_loss(
+            params, jax.random.normal(jax.random.PRNGKey(2), (B, T, 262)),
+            jnp.asarray([T, T - 2]), cond, jax.random.PRNGKey(3),
+        )
+        assert bool(jnp.isfinite(losses["total"]))
+
+
+class TestInterGenSystem:
+    @pytest.fixture(scope="class")
+    def sys_params(self):
+        sys_ = InterGenSystem(tiny_cfg(), clip_cfg=TINY_CLIP)
+        return sys_, sys_.init_params(jax.random.PRNGKey(0))
+
+    def test_sample(self, sys_params):
+        sys_, params = sys_params
+        out = sys_.forward_test(
+            params, {"text": ["two people dance"] * B, "motion_lens": np.asarray([T] * B)},
+            jax.random.PRNGKey(1),
+        )
+        assert out.shape == (B, T, 524)
+        assert bool(jnp.isfinite(out).all())
+
+    def test_loss(self, sys_params):
+        sys_, params = sys_params
+        cond = sys_.text_process(params, ["x"] * B)
+        losses = sys_.compute_loss(
+            params, jax.random.normal(jax.random.PRNGKey(2), (B, T, 524)),
+            jnp.asarray([T, T]), cond, jax.random.PRNGKey(3),
+        )
+        assert bool(jnp.isfinite(losses["total"]))
+
+
+class TestDualMDM:
+    def test_dual_sampling(self):
+        cfg = tiny_cfg(W_FUNC="const", W_VALUE=0.5)
+        sys_ = load_dualmdm(cfg, clip_cfg=TINY_CLIP)
+        assert isinstance(sys_, In2INSystem) and sys_.mode == "dual"
+        params = sys_.init_params(jax.random.PRNGKey(0))
+        batch = {
+            "text": ["two people hug"] * B,
+            "text_individual1": ["p1"] * B,
+            "text_individual2": ["p2"] * B,
+            "motion_lens": np.asarray([T] * B),
+        }
+        cond = sys_.build_cond(params, batch)
+        assert cond.shape == (B, 5 * TINY_CLIP.width)
+        out = sys_.sample(params, cond, T, jax.random.PRNGKey(1))
+        assert out.shape == (B, T, 524)
+        assert bool(jnp.isfinite(out).all())
+
+    @pytest.mark.parametrize("func,value", [("exp", 0.001), ("exp-inv", 0.001),
+                                            ("lin", 0.0), ("const", 0.3)])
+    def test_weight_schedules(self, func, value):
+        from mixermdm_tpu.models.cfg import dual_mdm_weight_fn
+
+        w = dual_mdm_weight_fn(func, value)
+        val = float(w(jnp.asarray(500.0)))
+        assert np.isfinite(val) and 0.0 <= val <= 1.0
