@@ -142,6 +142,10 @@ class In2INSystem:
         """Raw strings -> pooled 768-d cond through the mode's post-encoder."""
         return self.text.encode_texts(params["text"], texts, head=mode)
 
+    def encode_tokens(self, params, tokens, head: str):
+        """Jittable: pre-tokenised text -> pooled cond for one head."""
+        return self.text.encode(params["text"], tokens, head)
+
     def encode_cond_tokens(self, params, batch_tokens: dict) -> jnp.ndarray:
         """Jittable cond from pre-tokenised text (keys: ``tokens`` [+
         ``tokens_i1``/``tokens_i2`` in interaction/dual mode])."""

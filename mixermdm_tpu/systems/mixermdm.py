@@ -37,6 +37,91 @@ from .in2in import In2INSystem, generate_src_mask
 from .text import TextPipeline
 
 
+class MDMAsIndividual:
+    """Adapter presenting an MDMSystem with the In2INSystem submodel API the
+    Mixer expects (reference supports MDM as MODEL1, mixermdm.py:32-35).
+
+    NOTE on the reference quirk: upstream's MDM branch mis-slices the cond
+    vector (``MDMDenoiser.text_dim=256`` vs actual 512-d cond — SURVEY.md
+    §2.4), so MDM+in2IN mixing is broken there.  Here text dims are wired
+    from the actual cond width, so the combination works.
+    """
+
+    def __init__(self, mdm):
+        self.mdm = mdm
+        self.text_dim = int(mdm.cfg.LATENT_DIM)  # cond after embed_text
+
+    def init_params(self, rng):
+        p = self.mdm.init_params(rng)
+        return {
+            "denoiser_individual": p["denoiser"],
+            "clip": p["clip"],
+            "embed_text": p["embed_text"],
+        }
+
+    def denoiser_apply(self, name: str, cast: bool = False):
+        inner = self.mdm.denoiser_apply(cast)
+        return inner
+
+    def text_process(self, params, texts, mode="individual"):
+        return self.mdm.text_process(
+            {"clip": params["clip"], "embed_text": params["embed_text"]}, texts
+        )
+
+    def encode_tokens(self, params, tokens, head="individual"):
+        # NOTE: uses the standard 77-token layout (the reference MDM pairing
+        # truncates to 22 tokens — and is broken by its cond mis-slice anyway).
+        return self.mdm.encode_cond_tokens(
+            {"clip": params["clip"], "embed_text": params["embed_text"]},
+            {"tokens": tokens},
+        )
+
+
+class InterGenAsInteraction:
+    """Adapter presenting an InterGenSystem as the interaction submodel
+    (reference supports InterGen as MODEL2, mixermdm.py:37-40)."""
+
+    def __init__(self, intergen):
+        self.intergen = intergen
+        self.text = intergen.text
+        self.text_dim = intergen.text_dim
+
+    def init_params(self, rng):
+        p = self.intergen.init_params(rng)
+        return {"denoiser_interaction": p["denoiser"], "text": p["text"]}
+
+    def denoiser_apply(self, name: str, cast: bool = False):
+        return self.intergen.denoiser_apply(cast)
+
+    def text_process(self, params, texts, mode="interaction"):
+        return self.text.encode_texts(params["text"], texts, head="interaction")
+
+    def encode_tokens(self, params, tokens, head="interaction"):
+        return self.text.encode(params["text"], tokens, "interaction")
+
+
+def build_mixer_system(cfg, cfg_model1, cfg_model2, clip_cfg=None, **kwargs):
+    """Factory wiring MODEL1/MODEL2 by NAME (reference mixermdm.py:32-40):
+    MODEL1 in {"in2INind", "MDM"}, MODEL2 in {"in2IN", "InterGen"}."""
+    from .intergen import InterGenSystem
+    from .mdm import MDMSystem
+
+    name1 = cfg_model1.get("NAME", "in2INind")
+    name2 = cfg_model2.get("NAME", "in2IN")
+
+    if name1 == "MDM":
+        model1 = MDMAsIndividual(MDMSystem(cfg_model1, clip_cfg=clip_cfg))
+    else:
+        model1 = In2INSystem(cfg_model1, mode="individual", clip_cfg=clip_cfg)
+
+    if name2 == "InterGen":
+        model2 = InterGenAsInteraction(InterGenSystem(cfg_model2, clip_cfg=clip_cfg))
+    else:
+        model2 = In2INSystem(cfg_model2, mode="interaction", clip_cfg=clip_cfg)
+
+    return MixerMDMSystem(cfg, model1=model1, model2=model2, clip_cfg=clip_cfg, **kwargs)
+
+
 class MixerMDMSystem:
     def __init__(
         self,
@@ -191,11 +276,11 @@ class MixerMDMSystem:
         generator optimizer includes ``clipTransEncoder``/``clip_ln``,
         scripts/train/mixermdm.py:62-97).
         """
-        enc2 = lambda tok: self.model2.text.encode(
-            params["model2"]["text"], tok, "interaction"
+        enc2 = lambda tok: self.model2.encode_tokens(
+            params["model2"], tok, "interaction"
         )
-        enc1 = lambda tok: self.model1.text.encode(
-            params["model1"]["text"], tok, "individual"
+        enc1 = lambda tok: self.model1.encode_tokens(
+            params["model1"], tok, "individual"
         )
         encM = lambda tok: self.text.encode(params["text"], tok, "mixer")
         frozen = jax.lax.stop_gradient(

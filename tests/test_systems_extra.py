@@ -100,3 +100,45 @@ class TestDualMDM:
         w = dual_mdm_weight_fn(func, value)
         val = float(w(jnp.asarray(500.0)))
         assert np.isfinite(val) and 0.0 <= val <= 1.0
+
+
+class TestMixerFactoryCombos:
+    """MixerMDM with MDM / InterGen submodels (reference mixermdm.py:32-40).
+
+    NOTE: in the reference the MDM pairing is broken by the text_dim=256
+    mis-slice (SURVEY.md §2.4); here dims wire from actual cond widths.
+    """
+
+    def _mixer_cfg(self):
+        from mixermdm_tpu.config import Config
+
+        return Config.wrap(
+            {
+                "NAME": "MixerMDM",
+                "GENERATOR": {"NUM_LAYERS": 1, "NUM_HEADS": 2, "DROPOUT": 0.0,
+                              "INPUT_DIM": 262, "LATENT_DIM": 32, "FF_SIZE": 64},
+                "DISCRIMINATOR": {"NUM_LAYERS": 1, "NUM_HEADS": 2, "DROPOUT": 0.0,
+                                  "INPUT_DIM": 262, "LATENT_DIM": 32, "FF_SIZE": 64},
+                "ACTIVATION": "gelu", "DIFFUSION_STEPS": 8, "BETA_SCHEDULER": "cosine",
+                "SAMPLER": "uniform", "MOTION_REP": "global", "T_BAR": 4,
+                "STRATEGY": "ddim4", "CFG_WEIGHT": 3.5, "MIXING_MODE": 4,
+                "FORCE_INFLUENCE_VAL": None,
+            }
+        )
+
+    def test_mdm_plus_intergen(self):
+        from mixermdm_tpu.systems.mixermdm import build_mixer_system
+
+        cfg1 = tiny_cfg(NAME="MDM")
+        cfg2 = tiny_cfg(NAME="InterGen")
+        system = build_mixer_system(self._mixer_cfg(), cfg1, cfg2, clip_cfg=TINY_CLIP)
+        params = system.init_params(jax.random.PRNGKey(0))
+        batch = {
+            "text": ["two people greet"] * B,
+            "text_individual1": ["p1 waves"] * B,
+            "text_individual2": ["p2 waves"] * B,
+            "motion_lens": np.asarray([T] * B),
+        }
+        out = system.forward_test(params, batch, jax.random.PRNGKey(1))
+        assert out.shape == (B, T, 524)
+        assert bool(jnp.isfinite(out).all())
