@@ -17,6 +17,31 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host setup: one call per host before building the mesh.
+
+    Wraps ``jax.distributed.initialize`` (auto-detects on TPU pods).  After
+    this, ``jax.devices()`` spans all hosts and the same 1-D data mesh code
+    runs SPMD across ICI+DCN — the TPU-native replacement for the
+    reference's ``PL_TORCH_DISTRIBUTED_BACKEND=nccl`` + Lightning DDP spawn
+    (scripts/train/mixermdm.py:25,333).
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:

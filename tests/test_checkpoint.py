@@ -75,3 +75,76 @@ class TestOrbax:
             lambda x, y: np.testing.assert_allclose(np.asarray(x), np.asarray(y)),
             params, restored,
         )
+
+
+class TestInterclipConverter:
+    def test_structure_matches_init(self):
+        """convert_interclip output must structurally match InterCLIP params."""
+        import jax
+
+        from mixermdm_tpu.config import Config
+        from mixermdm_tpu.eval.interclip import InterCLIP
+
+        cfg = Config.wrap(
+            {"INPUT_DIM": 258, "LATENT_DIM": 32, "FF_SIZE": 64, "NUM_LAYERS": 1,
+             "NUM_HEADS": 2, "DROPOUT": 0.0, "MODE": "interaction"}
+        )
+        model = InterCLIP(cfg, text_width=64)
+        from mixermdm_tpu.models.torch_compat import TorchEncoder
+
+        model.text_encoder = TorchEncoder(64, 2, 64, 1)
+        params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
+
+        # Build a synthetic torch-keyed state dict with matching shapes by
+        # exporting structure from our own params.
+        sd = {}
+
+        def mha_sd(p, prefix):
+            E = np.asarray(p["q_proj"]["kernel"]).shape[0]
+            w = np.concatenate([np.asarray(p[n]["kernel"]).T for n in
+                                ("q_proj", "k_proj", "v_proj")], 0)
+            b = np.concatenate([np.asarray(p[n]["bias"]) for n in
+                                ("q_proj", "k_proj", "v_proj")], 0)
+            sd[f"{prefix}.in_proj_weight"] = w
+            sd[f"{prefix}.in_proj_bias"] = b
+            sd[f"{prefix}.out_proj.weight"] = np.asarray(p["out_proj"]["kernel"]).T
+            sd[f"{prefix}.out_proj.bias"] = np.asarray(p["out_proj"]["bias"])
+
+        def encoder_sd(p, prefix, n_layers):
+            from mixermdm_tpu.train.checkpoint import unstack_layer_tree
+
+            for i, lp in enumerate(unstack_layer_tree(p["layers"]["layer"], n_layers)):
+                mha_sd(lp["self_attn"], f"{prefix}.layers.{i}.self_attn")
+                for lin in ("linear1", "linear2"):
+                    sd[f"{prefix}.layers.{i}.{lin}.weight"] = np.asarray(lp[lin]["kernel"]).T
+                    sd[f"{prefix}.layers.{i}.{lin}.bias"] = np.asarray(lp[lin]["bias"])
+                for ln in ("norm1", "norm2"):
+                    sd[f"{prefix}.layers.{i}.{ln}.weight"] = np.asarray(lp[ln]["scale"])
+                    sd[f"{prefix}.layers.{i}.{ln}.bias"] = np.asarray(lp[ln]["bias"])
+
+        me = params["motion_encoder"]
+        sd["motion_encoder.query_token"] = np.asarray(me["query_token"])
+        sd["motion_encoder.embed_motion.weight"] = np.asarray(me["embed_motion"]["kernel"]).T
+        sd["motion_encoder.embed_motion.bias"] = np.asarray(me["embed_motion"]["bias"])
+        encoder_sd(me["transformer"], "motion_encoder.transformer", 1)
+        sd["motion_encoder.out_ln.weight"] = np.asarray(me["out_ln"]["scale"])
+        sd["motion_encoder.out_ln.bias"] = np.asarray(me["out_ln"]["bias"])
+        sd["motion_encoder.out.weight"] = np.asarray(me["out"]["kernel"]).T
+        sd["motion_encoder.out.bias"] = np.asarray(me["out"]["bias"])
+        sd["token_embedding.weight"] = np.asarray(params["token_embedding"])
+        sd["positional_embedding"] = np.asarray(params["positional_embedding"])
+        sd["latent_scale"] = np.asarray(params["latent_scale"])
+        encoder_sd(params["text_encoder"], "textTransEncoder", 1)
+        sd["text_ln.weight"] = np.asarray(params["text_ln"]["scale"])
+        sd["text_ln.bias"] = np.asarray(params["text_ln"]["bias"])
+        sd["out.weight"] = np.asarray(params["text_out"]["kernel"]).T
+        sd["out.bias"] = np.asarray(params["text_out"]["bias"])
+
+        back = ck.convert_interclip(sd, num_layers=1, text_layers=1)
+
+        # Converted params give identical embeddings.
+        motions = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 524))
+        lens = jnp.asarray([8, 6])
+        a = model.encode_motion(params, motions, lens)
+        b = model.encode_motion(jax.tree_util.tree_map(jnp.asarray, back), motions, lens)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
