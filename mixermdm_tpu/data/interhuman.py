@@ -23,7 +23,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..utils.features import process_motion_interhuman, rigid_transform, swap_left_right
+from ..utils.features import rigid_transform, swap_left_right
 
 MAX_GT_LENGTH = 300
 MIN_GT_LENGTH = 15

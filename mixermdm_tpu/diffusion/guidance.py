@@ -13,7 +13,7 @@ callable ``(x, t_orig) -> grad log p(y|x)``.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

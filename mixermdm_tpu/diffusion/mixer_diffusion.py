@@ -21,7 +21,7 @@ Faithfully reproduced quirks (they shaped the released checkpoints):
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,6 @@ scipy ``sqrtm`` numerics exactly); device-side JAX for the Sinkhorn loop.
 
 from __future__ import annotations
 
-from typing import Union
-
 import numpy as np
 import scipy.linalg
 

@@ -15,8 +15,6 @@ gather).  Conditioning embeddings are stacked the same way.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import flax.linen as nn
 

@@ -20,7 +20,7 @@ TPU-first re-design decisions:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax.numpy as jnp
 import flax.linen as nn

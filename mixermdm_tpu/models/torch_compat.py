@@ -11,8 +11,6 @@ LayerNorm eps 1e-5, attention without ``add_zero_attn``, GELU FFN.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import flax.linen as nn
 

@@ -10,7 +10,7 @@ would all-reduce over NCCL.  Multi-host extends the same mesh over DCN via
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

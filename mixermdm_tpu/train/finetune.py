@@ -11,9 +11,6 @@ JAX re-design: key renaming is a pytree re-rooting; freezing is an optax
 
 from __future__ import annotations
 
-from typing import Callable
-
-import jax
 import optax
 
 

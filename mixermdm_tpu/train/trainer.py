@@ -13,7 +13,7 @@ requires_grad mutation (mixermdm.py:403-431).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Iterable, NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
