@@ -49,3 +49,15 @@ class TimestepEmbedder(nn.Module):
         h = TorchLinear(self.latent_dim, name="linear1")(h)
         h = silu(h)
         return TorchLinear(self.latent_dim, name="linear2")(h)
+
+
+class IdentityEmbedder(nn.Module):
+    """TimestepEmbedder variant returning (B, 1, D) (utils.py:58-72)."""
+
+    latent_dim: int
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, timesteps):
+        emb = TimestepEmbedder(self.latent_dim, self.max_len, name="time_embed")(timesteps)
+        return emb[:, None, :]

@@ -107,6 +107,52 @@ def _foot_detect(positions: np.ndarray, thres: float):
     return contacts(list(FID_L)), contacts(list(FID_R))
 
 
+def load_motion_hml3d(pos_path: str, rot_path: str, min_length: int):
+    """HumanML3D raw files -> reduced (T-1, 22*3 + 21*6) layout
+    (reference preprocess.py:36-63): 22 joint positions (last frame dropped)
+    + the 21 6d rotations sliced out of the HumanML3D feature vector."""
+    try:
+        pos = np.load(pos_path).astype(np.float32)
+        rot = np.load(rot_path).astype(np.float32)
+    except OSError:
+        return None, None
+    pos = pos[:, :22].reshape(pos.shape[0], -1)[:-1]
+    off = 4 + 21 * 3 + 22 * 3
+    rot = rot[:, off : off + 21 * 6].reshape(rot.shape[0], -1)
+    motion = np.concatenate([pos, rot], axis=1)
+    if motion.shape[0] < min_length:
+        return None, None
+    return motion, None
+
+
+def extract_smpl(motion: np.ndarray):
+    """(T, >=201) SMPL-layout motion -> (poses, trans, root_poses) for SMPL
+    export (reference alignment.py:244-253)."""
+    positions = motion[:, : 22 * 3].reshape(-1, 22, 3)
+    rotations = motion[:, 22 * 6 : 22 * 6 + 23 * 3].reshape(-1, 23, 3)
+    poses = rotations.reshape(-1, 23 * 3)
+    trans = positions[:, 0]
+    return poses, trans, get_root_pos(positions)
+
+
+def get_root_pos(positions: np.ndarray) -> np.ndarray:
+    """Root facing as axis-angle per frame (reference alignment.py:255-272)."""
+    positions = positions.reshape(-1, 22, 3)
+    r_hip, l_hip = FACE_JOINT_INDX[:2]
+    across = positions[:, r_hip] - positions[:, l_hip]
+    across = across / np.sqrt((across**2).sum(axis=-1) + 1e-8)[..., None]
+    forward = np.cross(np.array([[0, 1, 0]]), across, axis=-1)
+    forward = forward / np.sqrt((forward**2).sum(axis=-1) + 1e-8)[..., None]
+    origin = np.tile(np.array([[0.0, 0.0, 1.0]]), (len(forward), 1))
+    quat = np.nan_to_num(_qbetween_np(origin, forward))
+
+    import jax.numpy as jnp
+
+    from .rotations import quaternion_to_axis_angle
+
+    return np.asarray(quaternion_to_axis_angle(jnp.asarray(quat, jnp.float32)))
+
+
 def swap_left_right(data: np.ndarray, n_joints: int) -> np.ndarray:
     """Mirror a (T, n_joints*3 + k*6) motion left<->right (utils.py:231-241)."""
     T = data.shape[0]
