@@ -45,7 +45,7 @@ def main(argv=None):
         make_interhuman_fixture,
     )
     from ..models.clip_text import ClipTextConfig
-    from ..parallel.mesh import make_mesh, replicate, shard_batch
+    from ..parallel.mesh import make_data_mesh_for_batch, replicate, shard_batch
     from ..systems import In2INSystem, MDMSystem
     from ..train.checkpoint import restore_checkpoint, save_checkpoint
     from ..train.trainer import BaseTrainer
@@ -79,7 +79,7 @@ def main(argv=None):
     if args.resume:
         params = restore_checkpoint(args.resume, params)
 
-    mesh = make_mesh()
+    mesh = make_data_mesh_for_batch(args.batch_size)
     trainer = BaseTrainer(system, lr=args.lr, weight_decay=args.weight_decay, mesh=mesh)
     state = trainer.init_state(params)
     state = state._replace(params=replicate(state.params, mesh))

@@ -32,7 +32,7 @@ def main(argv=None):
 
     from ..config import MIXERMDM_TRAIN_DEFAULT, get_config
     from ..data import DataLoader, InterHumanDataset, make_interhuman_fixture
-    from ..parallel.mesh import make_mesh, replicate, shard_batch
+    from ..parallel.mesh import make_data_mesh_for_batch, replicate, shard_batch
     from ..train.checkpoint import restore_checkpoint, save_checkpoint
     from ..train.trainer import MixerTrainer
     from ..utils.logging import MetricLogger
@@ -60,7 +60,7 @@ def main(argv=None):
     if args.resume:
         params = restore_checkpoint(args.resume, params)
 
-    mesh = make_mesh()
+    mesh = make_data_mesh_for_batch(batch_size)
     trainer = MixerTrainer(
         system,
         lr=float(tr.LR),

@@ -49,6 +49,14 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_data_mesh_for_batch(batch_size: int, axis: str = "data") -> Mesh:
+    """Largest data mesh whose size divides the batch (a batch of 2 cannot
+    shard over 8 devices)."""
+    n_avail = len(jax.devices())
+    n = max(d for d in range(1, n_avail + 1) if batch_size % d == 0)
+    return make_mesh(n, axis)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -1,0 +1,55 @@
+"""CLI smoke tests (tiny configs, synthetic data, CPU backend)."""
+
+import json
+import os
+
+import pytest
+
+
+class TestCLISmoke:
+    def test_train_mixermdm_tiny(self, tmp_path):
+        from mixermdm_tpu.cli.train_mixermdm import main
+
+        out = str(tmp_path / "mixer")
+        main(["--tiny", "--out-dir", out, "--max-steps", "1"])
+        assert os.path.isdir(os.path.join(out, "final"))
+
+    def test_infer_mixermdm_tiny(self, tmp_path):
+        import numpy as np
+
+        from mixermdm_tpu.cli.infer_mixermdm import main
+
+        out = str(tmp_path / "infer")
+        main([
+            "--tiny", "--name", "smoke", "--out-dir", out, "--num-samples", "2",
+            "--text-interaction", "two people hug",
+            "--text-individual1", "a person hugs",
+            "--text-individual2", "a person hugs back",
+        ])
+        motion = np.load(os.path.join(out, "smoke_motion.npy"))
+        assert motion.shape == (2, 16, 524)
+        assert np.isfinite(motion).all()
+        assert os.path.exists(os.path.join(out, "smoke_influence_i1.npy"))
+
+    def test_eval_mixermdm_tiny(self, tmp_path):
+        from mixermdm_tpu.cli.eval_mixermdm import main
+
+        out = str(tmp_path / "eval.json")
+        summary = main(["--tiny", "--replications", "1", "--out", out])
+        assert "FID" in summary
+        with open(out) as f:
+            loaded = json.load(f)
+        assert "MM Distance" in loaded
+
+    def test_dispatcher_help(self, capsys):
+        import mixermdm_tpu.__main__ as m
+        import sys
+
+        old = sys.argv
+        sys.argv = ["mixermdm_tpu", "--help"]
+        try:
+            rc = m.main()
+        finally:
+            sys.argv = old
+        assert rc == 0
+        assert "infer-mixermdm" in capsys.readouterr().out
