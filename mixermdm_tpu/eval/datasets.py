@@ -69,12 +69,15 @@ class EvaluationDatasetInterHuman:
             rng, step = jax.random.split(rng)
             T = int(np.max(batch["motion_lens"]))
             cond = system.generate_cond(params, batch)
-            old_fiv = getattr(system, "force_influence_val", None)
-            if force_influence_val is not None:
-                system.force_influence_val = force_influence_val
-            motions = np.asarray(system.sample(params, cond, T, step))
-            if force_influence_val is not None:
-                system.force_influence_val = old_fiv
+            # fiv is a TRACED argument of system.sample — sweeping it re-uses
+            # one compiled program (mutating system state was a staleness bug:
+            # the value was baked into the jit trace and silently ignored on
+            # shape-repeated sweeps).
+            fiv_kwargs = (
+                {"force_influence_val": force_influence_val}
+                if force_influence_val is not None else {}
+            )
+            motions = np.asarray(system.sample(params, cond, T, step, **fiv_kwargs))
 
             pad = max_frames - T
             if pad > 0:

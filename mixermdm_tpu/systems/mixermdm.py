@@ -363,25 +363,39 @@ class MixerMDMSystem:
         )
 
     # ----------------------------------------------------------------- sample
-    def sample(self, params, cond, n_frames: int, rng, collect_influence: bool = False):
+    _FIV_FROM_CONFIG = object()  # sentinel: "use self.force_influence_val"
+
+    def sample(self, params, cond, n_frames: int, rng, collect_influence: bool = False,
+               force_influence_val=_FIV_FROM_CONFIG):
         """Full dual-stream CFG DDIM chain (mixermdm.py:490-548).
 
         Returns raw-motion (B, T, 524) output; with ``collect_influence`` also
         the per-step (infl1, infl2) histories as stacked arrays.
+
+        ``force_influence_val`` (reference mixermdm.py:789-791) is a TRACED
+        argument: sweeping its value (eval datasets compare base vs composed
+        behaviour) re-uses one compiled program instead of baking the value
+        into the trace.  Only ``is None`` (override off/on) is a cache key.
         """
+        fiv = (self.force_influence_val
+               if force_influence_val is MixerMDMSystem._FIV_FROM_CONFIG
+               else force_influence_val)
         B = cond.shape[0]
-        key = (B, n_frames, collect_influence)
+        key = (B, n_frames, collect_influence, fiv is None)
         if key not in self._jit_sample:
             self._jit_sample[key] = jax.jit(
                 partial(self._sample_impl, n_frames=n_frames,
-                        collect_influence=collect_influence)
+                        collect_influence=collect_influence,
+                        use_fiv=fiv is not None)
             )
-        return self._jit_sample[key](params, cond, rng)
+        fiv_val = jnp.float32(0.0 if fiv is None else fiv)
+        return self._jit_sample[key](params, cond, rng, fiv_val)
 
-    def _sample_impl(self, params, cond, rng, *, n_frames, collect_influence):
+    def _sample_impl(self, params, cond, rng, fiv_val, *, n_frames,
+                     collect_influence, use_fiv):
         B = cond.shape[0]
         mp = self.mixer_params(params)
-        fiv = self.force_influence_val
+        fiv = fiv_val if use_fiv else None
 
         if collect_influence:
             def mixer_eval(x, x2, t_orig, mask, c):

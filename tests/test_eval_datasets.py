@@ -105,6 +105,36 @@ class TestEvalDatasets:
         )
         assert system.force_influence_val == before
 
+    def test_force_influence_applied_after_none_trace(self, tiny_system):
+        """Regression: fiv used to be baked into the jit trace (cache key was
+        shapes only), so sweeps on an already-traced shape silently reused the
+        fiv=None program.  Now fiv is a traced argument."""
+        system, params = tiny_system
+        from mixermdm_tpu.data.loader import collate
+
+        gt = _FakeGT(n=2)
+        batch = collate([gt[0], gt[1]])
+        cond = system.generate_cond(params, batch)
+        T = int(np.max(batch["motion_lens"]))
+        rng = jax.random.PRNGKey(7)
+
+        # Trace this shape first WITHOUT the override (the stale-trace setup).
+        system.sample(params, cond, T, rng, collect_influence=True)
+
+        # Same shape, override on: histories must be exactly the forced value.
+        out_a, infl_a = system.sample(
+            params, cond, T, rng, collect_influence=True, force_influence_val=0.25
+        )
+        assert np.allclose(np.asarray(infl_a[0]), 0.25)
+        assert np.allclose(np.asarray(infl_a[1]), 0.25)
+
+        # A different value through the SAME compiled program must take effect.
+        out_b, infl_b = system.sample(
+            params, cond, T, rng, collect_influence=True, force_influence_val=0.9
+        )
+        assert np.allclose(np.asarray(infl_b[0]), 0.9)
+        assert float(np.abs(np.asarray(out_a) - np.asarray(out_b)).max()) > 1e-6
+
     def test_default_decomposer(self):
         t1, t2 = default_text_decomposer(["a", "b"])
         assert t1 == ["a", "b"] and t2 == ["a", "b"]
