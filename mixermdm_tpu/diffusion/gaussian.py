@@ -23,9 +23,14 @@ from .schedule import DiffusionSchedule
 
 MEAN_START_X = "start_x"
 MEAN_EPSILON = "epsilon"
+MEAN_PREVIOUS_X = "previous_x"
 
 VAR_FIXED_SMALL = "fixed_small"
 VAR_FIXED_LARGE = "fixed_large"
+VAR_LEARNED = "learned"
+VAR_LEARNED_RANGE = "learned_range"
+
+LEARNED_VAR_TYPES = (VAR_LEARNED, VAR_LEARNED_RANGE)
 
 
 def extract(arr: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
@@ -68,6 +73,38 @@ def predict_eps_from_xstart(s: DiffusionSchedule, x_t, t, pred_xstart):
     ) / extract(s.sqrt_recipm1_alphas_cumprod, t, nd)
 
 
+def predict_xstart_from_xprev(s: DiffusionSchedule, x_t, t, xprev):
+    """x0 implied by a model that predicts x_{t-1} (reference :547-556):
+    (xprev - coef2 * x_t) / coef1."""
+    nd = x_t.ndim
+    return (
+        extract(1.0 / s.posterior_mean_coef1, t, nd) * xprev
+        - extract(s.posterior_mean_coef2 / s.posterior_mean_coef1, t, nd) * x_t
+    )
+
+
+def split_learned_variance(s: DiffusionSchedule, model_output, t, var_type: str):
+    """Split a 2F-channel model output into (prediction, variance stats).
+
+    Reference :477-490 splits at dim 1 (image NCHW layout); motion tensors
+    here are (B, T, F) so the split is on the FEATURE (last) axis.  LEARNED
+    uses the second half as log-variance directly; LEARNED_RANGE interpolates
+    in [posterior_log_variance_clipped, log(betas)] with the second half
+    mapped from [-1, 1] to [0, 1].
+    """
+    F2 = model_output.shape[-1]
+    model_output, var_values = jnp.split(model_output, 2, axis=-1)
+    nd = model_output.ndim
+    if var_type == VAR_LEARNED:
+        log_variance = var_values
+    else:
+        min_log = extract(s.posterior_log_variance_clipped, t, nd)
+        max_log = extract(s.log_betas, t, nd)
+        frac = (var_values + 1.0) / 2.0
+        log_variance = frac * max_log + (1.0 - frac) * min_log
+    return model_output, jnp.exp(log_variance), log_variance
+
+
 def model_variance(s: DiffusionSchedule, t, ndim: int, var_type: str):
     if var_type == VAR_FIXED_SMALL:
         return (
@@ -97,21 +134,34 @@ def p_mean_variance(
     t_orig = s.timestep_map[t]
     model_output = model_fn(x, t_orig)
 
-    variance, log_variance = model_variance(s, t, x.ndim, var_type)
+    if var_type in LEARNED_VAR_TYPES:
+        model_output, variance, log_variance = split_learned_variance(
+            s, model_output, t, var_type
+        )
+    else:
+        variance, log_variance = model_variance(s, t, x.ndim, var_type)
 
-    if mean_type == MEAN_START_X:
-        pred_xstart = model_output
-    elif mean_type == MEAN_EPSILON:
-        pred_xstart = predict_xstart_from_eps(s, x, t, model_output)
+    def process_xstart(x0):
+        if denoised_fn is not None:
+            x0 = denoised_fn(x0)
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        return x0
+
+    if mean_type == MEAN_PREVIOUS_X:
+        # Model predicts x_{t-1} directly: the mean IS the output
+        # (reference :513-517).
+        pred_xstart = process_xstart(predict_xstart_from_xprev(s, x, t, model_output))
+        mean = model_output
+    elif mean_type in (MEAN_START_X, MEAN_EPSILON):
+        if mean_type == MEAN_START_X:
+            pred_xstart = process_xstart(model_output)
+        else:
+            pred_xstart = process_xstart(predict_xstart_from_eps(s, x, t, model_output))
+        mean, _, _ = q_posterior_mean_variance(s, pred_xstart, x, t)
     else:
         raise NotImplementedError(mean_type)
 
-    if denoised_fn is not None:
-        pred_xstart = denoised_fn(pred_xstart)
-    if clip_denoised:
-        pred_xstart = jnp.clip(pred_xstart, -1.0, 1.0)
-
-    mean, _, _ = q_posterior_mean_variance(s, pred_xstart, x, t)
     return {
         "mean": mean,
         "variance": variance,
@@ -173,13 +223,18 @@ def ddim_sample_loop(
     mean_type: str = MEAN_START_X,
     var_type: str = VAR_FIXED_SMALL,
     traj_control=None,
+    cond_fn: Callable | None = None,
     dtype=jnp.float32,
 ):
     """Full DDIM chain as one ``lax.scan`` (reference :946-1069).
 
     Returns the final ``pred_xstart`` like the reference's
-    ``ddim_sample_loop`` (:997).
+    ``ddim_sample_loop`` (:997).  ``cond_fn(x, t_orig) -> grad log p(y|x)``
+    applies Song-style score conditioning each step (reference ddim_sample
+    :822 -> condition_score :584).
     """
+    if cond_fn is not None:
+        from .guidance import condition_score
     rng, init_rng = jax.random.split(rng)
     img = jax.random.normal(init_rng, shape, dtype) if noise is None else noise
     B = shape[0]
@@ -195,6 +250,8 @@ def ddim_sample_loop(
             model_fn, s, img, t,
             mean_type=mean_type, var_type=var_type, clip_denoised=clip_denoised,
         )
+        if cond_fn is not None:
+            out = condition_score(cond_fn, s, out, img, t)
         nxt = ddim_step(s, img, t, out["pred_xstart"], step_rng, eta)
         return (nxt, rng), out["pred_xstart"]
 
@@ -212,9 +269,16 @@ def p_sample_loop(
     clip_denoised: bool = False,
     mean_type: str = MEAN_START_X,
     var_type: str = VAR_FIXED_SMALL,
+    cond_fn: Callable | None = None,
     dtype=jnp.float32,
 ):
-    """Ancestral DDPM chain as one ``lax.scan`` (reference :694-797)."""
+    """Ancestral DDPM chain as one ``lax.scan`` (reference :694-797).
+
+    ``cond_fn`` applies the Sohl-Dickstein mean shift each step (reference
+    p_sample :656 -> condition_mean :569).
+    """
+    if cond_fn is not None:
+        from .guidance import condition_mean
     rng, init_rng = jax.random.split(rng)
     img = jax.random.normal(init_rng, shape, dtype) if noise is None else noise
     B = shape[0]
@@ -228,6 +292,8 @@ def p_sample_loop(
             model_fn, s, img, t,
             mean_type=mean_type, var_type=var_type, clip_denoised=clip_denoised,
         )
+        if cond_fn is not None:
+            out = dict(out, mean=condition_mean(cond_fn, s, out, img, t))
         nxt = ddpm_step(s, out, t, step_rng)
         return (nxt, rng), None
 
@@ -243,12 +309,17 @@ def mse_training_losses(
     rng: jax.Array,
     *,
     mean_type: str = MEAN_START_X,
+    var_type: str = VAR_FIXED_SMALL,
+    rescale_vb: bool = False,
     noise=None,
 ):
     """Base MSE diffusion loss (reference ``training_losses`` :1106-1187).
 
     Returns dict with per-sample "mse" plus the raw target/prediction that the
-    geometric losses consume downstream (reference :1182-1183).
+    geometric losses consume downstream (reference :1182-1183).  With a
+    LEARNED variance type the output carries 2F channels; the variance half
+    trains through a frozen-mean VLB term "vb" (reference :1145-1160), and
+    "loss" = mse + vb.
     """
     if noise is None:
         noise = jax.random.normal(rng, x_start.shape, x_start.dtype)
@@ -256,12 +327,33 @@ def mse_training_losses(
     t_orig = s.timestep_map[t]
     model_output = model_fn(x_t, t_orig)
 
+    terms = {}
+    if var_type in LEARNED_VAR_TYPES:
+        model_output, var_values = jnp.split(model_output, 2, axis=-1)
+        # Stop-gradient the mean half so the VLB trains only the variance
+        # (reference's frozen_out trick, :1149-1152).
+        frozen = jnp.concatenate(
+            [jax.lax.stop_gradient(model_output), var_values], axis=-1
+        )
+        from .vlb import vb_terms_bpd
+
+        terms["vb"] = vb_terms_bpd(
+            lambda _x, _t: frozen, s, x_start, x_t, t,
+            clip_denoised=False, mean_type=mean_type, var_type=var_type,
+        )["output"]
+        if rescale_vb:
+            terms["vb"] = terms["vb"] * (s.num_timesteps / 1000.0)
+
     if mean_type == MEAN_START_X:
         target = x_start
     elif mean_type == MEAN_EPSILON:
         target = noise
+    elif mean_type == MEAN_PREVIOUS_X:
+        target = q_posterior_mean_variance(s, x_start, x_t, t)[0]
     else:
         raise NotImplementedError(mean_type)
 
     mse = ((target - model_output) ** 2).reshape(x_start.shape[0], -1).mean(axis=-1)
-    return {"mse": mse, "target": target, "pred": model_output, "x_t": x_t}
+    terms.update({"mse": mse, "target": target, "pred": model_output, "x_t": x_t})
+    terms["loss"] = mse + terms["vb"] if "vb" in terms else mse
+    return terms
