@@ -1,19 +1,169 @@
 """MixerMDM evaluation CLI: dual-dataset protocol + F-score.
 
-Reference (``/root/reference/src/scripts/eval/mixermdm.py:243-370``):
-InterHuman eval (interaction quality) + HumanML3D eval (individual quality),
-replicated ``replication_times`` times, combined with the harmonic-mean
-F-score.  Constants from :class:`mixermdm_tpu.eval.EvalProtocol`.
+Reference (``/root/reference/src/scripts/eval/mixermdm.py:243-370``): two
+independent evaluations — InterHuman (interaction quality, ``EvaluatorModel
+Wrapper``) and HumanML3D (individual quality, ``EvaluatorModelWrapper
+Individual``; the mixer GENERATES from HumanML3D texts, :330-345) — each with
+MM-Distance, R-precision top-1/2/3, FID, Diversity and MultiModality over
+``replication_times`` replications, then the harmonic-mean F-score (:216-241).
+Constants from :class:`mixermdm_tpu.eval.EvalProtocol`.
 
 Single-dataset variants (reference ``scripts/eval/interaction.py`` /
 ``individual.py``) via ``--datasets interhuman`` / ``--datasets hml3d``.
+
+Generation-length policy: by default items are generated at the batch-max
+length and scored at their own GT length (batched jitted sampling — the
+reference loops batch=1 generating each item at its own length,
+evaluation/datasets.py:116).  ``--per-item-lengths`` reproduces the
+reference's protocol-exact behaviour by grouping items of equal length.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-from collections import defaultdict
+from collections import OrderedDict, defaultdict
+
+
+def _interleave(t1, t2):
+    """Per-person texts interleaved to match the 2B person batch
+    (reference evaluation/utils.py:282-301)."""
+    out = []
+    for a, b in zip(t1, t2):
+        out.extend([a, b])
+    return out
+
+
+def _length_groups(idx_list, dataset, per_item: bool, batch_size: int):
+    """Yield index batches; with per_item, group equal lengths so every item
+    is generated at exactly its own length (protocol-exact)."""
+    if not per_item:
+        for start in range(0, len(idx_list), batch_size):
+            yield idx_list[start : start + batch_size]
+        return
+    by_len = defaultdict(list)
+    for i in idx_list:
+        by_len[int(dataset[i]["motion_lens"])].append(i)
+    for _, group in sorted(by_len.items()):
+        for start in range(0, len(group), batch_size):
+            yield group[start : start + batch_size]
+
+
+def _generate_batches(system, params, dataset, rng, *, num_samples, batch_size,
+                      per_item, collect_ind_texts):
+    """Batched mixer generation over a GT set.
+
+    Returns (gt_batches, gen_batches, ind_text_batches); every batch is
+    ``(texts, motions(B,T,524), lens)``.
+    """
+    import jax
+    import numpy as np
+
+    from ..data.loader import collate
+
+    gt_batches, gen_batches, ind_texts = [], [], []
+    n = min(num_samples, len(dataset))
+    for idx in _length_groups(list(range(n)), dataset, per_item, batch_size):
+        items = [dataset[i] for i in idx]
+        batch = collate(items)
+        if "text_individual1" not in batch:
+            batch["text_individual1"] = list(batch["text"])
+            batch["text_individual2"] = list(batch["text"])
+        gt_batches.append(
+            (batch["text"], batch["motions"].astype(np.float32), batch["motion_lens"])
+        )
+        ind_texts.append((batch["text_individual1"], batch["text_individual2"]))
+
+        rng, step = jax.random.split(rng)
+        T = int(batch["motion_lens"].max())
+        motions = np.asarray(
+            system.sample(params, system.generate_cond(params, batch), T, step)
+        )
+        pad = batch["motions"].shape[1] - T
+        if pad > 0:
+            motions = np.pad(motions, ((0, 0), (0, pad), (0, 0)))
+        gen_batches.append((batch["text"], motions, batch["motion_lens"]))
+    return gt_batches, gen_batches, ind_texts
+
+
+def run_side(system, params, gt_dataset, wrapper, protocol, *, individual,
+             num_samples, batch_size, max_frames, replications, seed,
+             per_item=False, mm_num_samples=None, mm_num_repeats=None,
+             model_name="mixermdm"):
+    """One dataset side of the protocol (reference ``evaluation()``,
+    eval/mixermdm.py:124-213).  Returns {metric: {name: [per-replication]}}.
+    """
+    import jax
+    import numpy as np
+
+    from ..eval import (
+        evaluate_diversity,
+        evaluate_fid,
+        evaluate_matching_score,
+        evaluate_multimodality,
+    )
+    from ..eval.datasets import MMGeneratedDataset
+
+    mm_num_samples = protocol.mm_num_samples if mm_num_samples is None else mm_num_samples
+    mm_num_repeats = protocol.mm_num_repeats if mm_num_repeats is None else mm_num_repeats
+
+    all_metrics = defaultdict(lambda: defaultdict(list))
+    for rep in range(replications):
+        print(f"== replication {rep + 1}/{replications} ==")
+        rng = jax.random.PRNGKey(seed + 1000 * rep)
+        rng, gen_rng, mm_rng = jax.random.split(rng, 3)
+        gt_batches, gen_batches, ind_texts = _generate_batches(
+            system, params, gt_dataset, gen_rng,
+            num_samples=num_samples, batch_size=batch_size,
+            per_item=per_item, collect_ind_texts=individual,
+        )
+        if individual:
+            # The individual evaluator scores per-person halves against the
+            # per-person texts (2B interleave, evaluation/utils.py:282-301).
+            gen_batches = [
+                (_interleave(t1, t2), m, l)
+                for (t1, t2), (_, m, l) in zip(ind_texts, gen_batches)
+            ]
+            gt_batches = [
+                (_interleave(t1, t2), m, l)
+                for (t1, t2), (_, m, l) in zip(ind_texts, gt_batches)
+            ]
+
+        sets = OrderedDict(
+            [(model_name, gen_batches), ("ground truth", gt_batches)]
+        )
+        match, rprec, acts = evaluate_matching_score(sets, wrapper, protocol.top_k)
+        fid = evaluate_fid(gt_batches, {model_name: acts[model_name]}, wrapper)
+        div_times = min(protocol.diversity_times, acts[model_name].shape[0] - 1)
+        div = evaluate_diversity(acts, div_times, seed=seed + rep)
+
+        mm_val = None
+        if mm_num_samples > 0:
+            mm_set = MMGeneratedDataset(
+                system, params, gt_dataset, mm_rng,
+                mm_num_samples=mm_num_samples, mm_num_repeats=mm_num_repeats,
+                max_frames=max_frames,
+            )
+            # times must stay below the replica count (metrics.py sampling);
+            # only relevant for down-scaled --tiny runs (protocol: 15 > 5).
+            mm_times = min(protocol.mm_num_times, mm_num_repeats - 1)
+            mm = evaluate_multimodality(
+                {model_name: list(mm_set)}, wrapper, mm_times,
+                seed=seed + rep,
+            )
+            mm_val = float(mm[model_name])
+
+        for name in sets:
+            all_metrics["MM Distance"][name].append(float(match[name]))
+            for k in range(protocol.top_k):
+                all_metrics[f"R_precision_top{k + 1}"][name].append(
+                    float(rprec[name][k])
+                )
+            all_metrics["Diversity"][name].append(float(div[name]))
+        all_metrics["FID"][model_name].append(float(fid[model_name]))
+        if mm_val is not None:
+            all_metrics["MultiModality"][model_name].append(mm_val)
+    return all_metrics
 
 
 def main(argv=None):
@@ -25,12 +175,19 @@ def main(argv=None):
                         help="individual-mode InterCLIP (the reference's "
                              "configs/eval_individual.yaml is absent from its repo)")
     parser.add_argument("--data-root", type=str, default="./data")
-    parser.add_argument("--hml3d-root", type=str, default="./data/HumanML3D")
+    parser.add_argument("--hml3d-root", type=str, default="./data/HumanML3D",
+                        help="HumanML3D test set for the individual-quality side")
     parser.add_argument("--out", type=str, default="eval_results.json")
     parser.add_argument("--datasets", type=str, default="both",
                         choices=["both", "interhuman", "hml3d"])
     parser.add_argument("--num-samples", type=int, default=None)
     parser.add_argument("--replications", type=int, default=None)
+    parser.add_argument("--mm-num-samples", type=int, default=None,
+                        help="0 disables MultiModality")
+    parser.add_argument("--mm-num-repeats", type=int, default=None)
+    parser.add_argument("--per-item-lengths", action="store_true",
+                        help="generate each item at its own length "
+                             "(protocol-exact; reference datasets.py:116)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--tiny", action="store_true")
     args = parser.parse_args(argv)
@@ -39,14 +196,18 @@ def main(argv=None):
     import numpy as np
 
     from ..config import Config
-    from ..data import InterHumanDataset, make_interhuman_fixture
+    from ..data import (
+        HumanML3DDataset,
+        InterHumanDataset,
+        make_hml3d_fixture,
+        make_interhuman_fixture,
+    )
     from ..eval import (
         EvalProtocol,
         EvaluatorWrapper,
+        EvaluatorWrapperIndividual,
         calculate_f_score,
-        evaluate_diversity,
-        evaluate_fid,
-        evaluate_matching_score,
+        get_metric_statistics,
     )
     from ..eval.interclip import InterCLIP
     from ..train.checkpoint import restore_checkpoint
@@ -58,10 +219,14 @@ def main(argv=None):
     if args.tiny:
         root = "/tmp/eval_synth"
         make_interhuman_fixture(root, n_clips=4, n_frames=40)
+        make_hml3d_fixture(root + "/HumanML3D", n_clips=4, n_frames=40)
         args.data_root = root
+        args.hml3d_root = root + "/HumanML3D"
         num_samples = 4
         batch_size = 2
         max_frames = 16
+        mm_num_samples = 2 if args.mm_num_samples is None else args.mm_num_samples
+        mm_num_repeats = 3 if args.mm_num_repeats is None else args.mm_num_repeats
         icfg = Config.wrap(
             {"INPUT_DIM": 258, "LATENT_DIM": 32, "FF_SIZE": 64, "NUM_LAYERS": 1,
              "NUM_HEADS": 2, "DROPOUT": 0.0, "MODE": "interaction"}
@@ -74,6 +239,8 @@ def main(argv=None):
         num_samples = args.num_samples or protocol.num_samples
         batch_size = protocol.batch_size_interhuman
         max_frames = 300
+        mm_num_samples = protocol.mm_num_samples if args.mm_num_samples is None else args.mm_num_samples
+        mm_num_repeats = protocol.mm_num_repeats if args.mm_num_repeats is None else args.mm_num_repeats
         evaluator = InterCLIP()
 
     system = build_system(args.model, tiny=args.tiny)
@@ -88,10 +255,8 @@ def main(argv=None):
     wrapper = EvaluatorWrapper(evaluator, eval_params)
 
     evaluator_ind = eval_ind_params = None
-    if args.datasets == "both":
+    if args.datasets in ("both", "hml3d"):
         # Individual-mode InterCLIP (MotionEncoder on single-person 262-d).
-        from ..config import Config
-
         ind_cfg = Config.wrap(dict(evaluator.cfg))
         ind_cfg["MODE"] = "individual"
         evaluator_ind = InterCLIP(ind_cfg, text_width=evaluator.text_width)
@@ -106,110 +271,80 @@ def main(argv=None):
                 args.evaluator_individual_checkpoint, eval_ind_params
             )
 
-    dataset = InterHumanDataset(args.data_root, mode="test", max_gt_length=max_frames)
-    if len(dataset) == 0:
-        raise SystemExit(f"no test data under {args.data_root}")
+    side_kw = dict(
+        num_samples=num_samples, max_frames=max_frames,
+        replications=replications, seed=args.seed,
+        per_item=args.per_item_lengths,
+        mm_num_samples=mm_num_samples, mm_num_repeats=mm_num_repeats,
+    )
 
-    metrics_log = defaultdict(lambda: defaultdict(list))
-    metrics_ind = defaultdict(lambda: defaultdict(list))
-    for rep in range(replications):
-        print(f"== replication {rep + 1}/{replications} ==")
-        gt_batches, gen_batches, ind_text_batches = [], [], []
-        n = min(num_samples, len(dataset))
-        for start in range(0, n, batch_size):
-            items = [dataset[i] for i in range(start, min(start + batch_size, n))]
-            from ..data.loader import collate
+    metrics_ih = metrics_hml = None
+    if args.datasets in ("both", "interhuman"):
+        print("===== InterHuman (interaction quality) =====")
+        dataset = InterHumanDataset(args.data_root, mode="test", max_gt_length=max_frames)
+        if len(dataset) == 0:
+            raise SystemExit(f"no test data under {args.data_root}")
+        metrics_ih = run_side(
+            system, params, dataset, wrapper, protocol,
+            individual=False, batch_size=batch_size, **side_kw,
+        )
 
-            batch = collate(items)
-            gt_batches.append(
-                (batch["text"], batch["motions"].astype(np.float32), batch["motion_lens"])
-            )
-            ind_text_batches.append(
-                (batch.get("text_individual1", batch["text"]),
-                 batch.get("text_individual2", batch["text"]))
-            )
-            rng, step = jax.random.split(rng)
-            T = int(batch["motion_lens"].max())
-            motions = np.asarray(
-                system.sample(
-                    params, system.generate_cond(params, batch), T, step
-                )
-            )
-            pad = batch["motions"].shape[1] - T
-            if pad > 0:
-                motions = np.pad(motions, ((0, 0), (0, pad), (0, 0)))
-            gen_batches.append((batch["text"], motions, batch["motion_lens"]))
+    if args.datasets in ("both", "hml3d"):
+        print("===== HumanML3D (individual quality) =====")
+        # The mixer generates from HumanML3D texts; the individual evaluator
+        # judges per-person halves (reference eval/mixermdm.py:330-345).
+        hml = HumanML3DDataset(
+            args.hml3d_root, mode="test", extended=True, max_gt_length=max_frames
+        )
+        if len(hml) == 0:
+            raise SystemExit(f"no HumanML3D test data under {args.hml3d_root}")
+        ind_wrapper = EvaluatorWrapperIndividual(evaluator_ind, eval_ind_params)
+        metrics_hml = run_side(
+            system, params, hml, ind_wrapper, protocol,
+            individual=True,
+            batch_size=protocol.batch_size_hml3d if not args.tiny else batch_size,
+            **side_kw,
+        )
 
-        sets = {"mixermdm": gen_batches, "ground truth": gt_batches}
-        match, rprec, acts = evaluate_matching_score(sets, wrapper, protocol.top_k)
-        fid = evaluate_fid(gt_batches, {"mixermdm": acts["mixermdm"]}, wrapper)
-        div_times = min(protocol.diversity_times, acts["mixermdm"].shape[0] - 1)
-        div = evaluate_diversity(acts, div_times, seed=args.seed + rep)
-
-        for name in sets:
-            metrics_log["MM Distance"][name].append(float(match[name]))
-            metrics_log["R_precision_top1"][name].append(float(rprec[name][0]))
-            metrics_log["Diversity"][name].append(float(div[name]))
-        metrics_log["FID"]["mixermdm"].append(float(fid["mixermdm"]))
-
-        if args.datasets == "both":
-            # Individual-quality side (reference eval/mixermdm.py:329-345):
-            # the same generations judged per person by the individual
-            # evaluator (per-person centring + 2B interleave).
-            from ..eval import EvaluatorWrapperIndividual
-
-            ind_wrapper = EvaluatorWrapperIndividual(evaluator_ind, eval_ind_params)
-            ind_gen = [
-                (interleave_texts(t1, t2), m, l)
-                for (t1, t2), (_, m, l) in zip(ind_text_batches, gen_batches)
-            ]
-            ind_gt = [
-                (interleave_texts(t1, t2), m, l)
-                for (t1, t2), (_, m, l) in zip(ind_text_batches, gt_batches)
-            ]
-            m2, r2, a2 = evaluate_matching_score(
-                {"mixermdm": ind_gen, "ground truth": ind_gt}, ind_wrapper,
-                protocol.top_k,
-            )
-            f2 = evaluate_fid(ind_gt, {"mixermdm": a2["mixermdm"]}, ind_wrapper)
-            d2t = min(protocol.diversity_times, a2["mixermdm"].shape[0] - 1)
-            d2 = evaluate_diversity(a2, d2t, seed=args.seed + rep)
-            for name in ("mixermdm", "ground truth"):
-                metrics_ind["MM Distance"][name].append(float(m2[name]))
-                metrics_ind["R_precision_top1"][name].append(float(r2[name][0]))
-                metrics_ind["Diversity"][name].append(float(d2[name]))
-            metrics_ind["FID"]["mixermdm"].append(float(f2["mixermdm"]))
-
-    summary = {
-        metric: {name: [float(np.mean(v)), float(np.std(v))] for name, v in d.items()}
-        for metric, d in metrics_log.items()
-    }
-    if args.datasets == "both" and metrics_ind:
-        from ..eval import calculate_f_score
-
-        summary["individual"] = {
-            metric: {name: [float(np.mean(v)), float(np.std(v))] for name, v in d.items()}
-            for metric, d in metrics_ind.items()
+    def summarize(metrics):
+        return {
+            metric: {
+                name: list(get_metric_statistics(np.asarray(v), replications))
+                for name, v in d.items()
+            }
+            for metric, d in metrics.items()
         }
-        fscores = calculate_f_score(metrics_log, metrics_ind, replications)
+
+    summary = {}
+    if metrics_ih is not None:
+        summary["interhuman"] = summarize(metrics_ih)
+    if metrics_hml is not None:
+        summary["hml3d"] = summarize(metrics_hml)
+    if metrics_ih is not None and metrics_hml is not None:
+        fscores = calculate_f_score(metrics_ih, metrics_hml, replications)
         summary["f_score"] = {
-            metric: {name: [float(f), float(ci)] for name, (f, ci) in d.items()}
+            metric: {name: [float(np.asarray(f).mean()), float(np.asarray(ci).mean())]
+                     for name, (f, ci) in d.items()}
             for metric, d in fscores.items()
         }
+
+    def _clean(o):
+        if isinstance(o, dict):
+            return {k: _clean(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return [_clean(v) for v in o]
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        if isinstance(o, (np.floating, np.integer)):
+            return float(o)
+        return o
+
+    summary = _clean(summary)
     print(json.dumps(summary, indent=2))
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=2)
     print(f"wrote {args.out}")
     return summary
-
-
-def interleave_texts(t1, t2):
-    """Per-person texts interleaved to match the 2B person batch
-    (reference evaluation/utils.py:282-301)."""
-    out = []
-    for a, b in zip(t1, t2):
-        out.extend([a, b])
-    return out
 
 
 if __name__ == "__main__":

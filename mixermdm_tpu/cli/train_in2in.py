@@ -76,13 +76,6 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     rng, init_rng = jax.random.split(rng)
     params = system.init_params(init_rng)
-    if args.resume:
-        params = restore_checkpoint(args.resume, params)
-
-    mesh = make_data_mesh_for_batch(args.batch_size)
-    trainer = BaseTrainer(system, lr=args.lr, weight_decay=args.weight_decay, mesh=mesh)
-    state = trainer.init_state(params)
-    state = state._replace(params=replicate(state.params, mesh))
 
     if interaction:
         dataset = InterHumanDataset(args.data_root, mode="train", max_gt_length=max_frames)
@@ -92,9 +85,31 @@ def main(argv=None):
         raise SystemExit(f"no data found under {args.data_root}")
 
     loader = DataLoader(dataset, batch_size=args.batch_size, seed=args.seed)
+
+    # Interaction training uses the reference's CosineWarmupScheduler
+    # (scripts/train/in2IN.py:51-58: warmup=10 epochs over EPOCH total);
+    # scaled per-step here (the reference steps it per epoch).
+    lr_schedule = None
+    if interaction:
+        from ..train.optim import cosine_warmup_schedule
+
+        steps_per_epoch = max(1, len(dataset) // args.batch_size)
+        lr_schedule = cosine_warmup_schedule(
+            args.lr, 10 * steps_per_epoch, args.epochs * steps_per_epoch
+        )
+
+    mesh = make_data_mesh_for_batch(args.batch_size)
+    trainer = BaseTrainer(system, lr=args.lr, weight_decay=args.weight_decay,
+                          mesh=mesh, lr_schedule=lr_schedule)
+    state = trainer.init_state(params)
+    if args.resume:
+        from ..train.checkpoint import restore_train_state
+
+        state = restore_train_state(args.resume, state)
+    state = state._replace(params=replicate(state.params, mesh))
     logger = MetricLogger(log_every=10)
 
-    step = 0
+    step = int(state.step)
     for epoch in range(args.epochs):
         for batch in loader:
             tokens = {"tokens": np.asarray(system.text.tokenize(batch["text"]))} \
@@ -113,7 +128,9 @@ def main(argv=None):
                  "motion_lens": batch["motion_lens"], **tokens},
                 mesh,
             )
-            rng, step_rng = jax.random.split(rng)
+            # Per-step rng derived from (seed, step): resumed runs continue
+            # the exact rng sequence of an unbroken one.
+            step_rng = jax.random.fold_in(rng, step)
             state, losses = trainer.step(state, dev_batch, step_rng)
             logger.log(step, epoch, {"total": float(losses["total"])})
             step += 1
@@ -122,7 +139,10 @@ def main(argv=None):
         if args.max_steps and step >= args.max_steps:
             break
 
+    from ..train.checkpoint import save_train_state
+
     save_checkpoint(os.path.join(args.out_dir, "final"), state.params)
+    save_train_state(os.path.join(args.out_dir, "final_state"), state)
     print(f"training done: {step} steps")
 
 

@@ -57,8 +57,6 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     rng, init_rng = jax.random.split(rng)
     params = system.init_params(init_rng)
-    if args.resume:
-        params = restore_checkpoint(args.resume, params)
 
     mesh = make_data_mesh_for_batch(batch_size)
     trainer = MixerTrainer(
@@ -73,6 +71,19 @@ def main(argv=None):
         mesh=mesh,
     )
     state = trainer.init_state(params)
+    if args.resume:
+        # Full train-state resume (params + BOTH optimizer states + step),
+        # matching the reference's Lightning ckpt_path restore
+        # (scripts/train/mixermdm.py:340-343).  Falls back to params-only
+        # for plain param checkpoints.
+        from ..train.checkpoint import restore_train_state
+
+        try:
+            state = restore_train_state(args.resume, state)
+        except Exception:
+            state = state._replace(
+                params=restore_checkpoint(args.resume, state.params)
+            )
     state = state._replace(params=replicate(state.params, mesh))
 
     dataset = InterHumanDataset(args.data_root, mode="train", max_gt_length=max_frames)
@@ -81,7 +92,9 @@ def main(argv=None):
     loader = DataLoader(dataset, batch_size=batch_size, seed=args.seed)
     logger = MetricLogger(log_every=int(tr.LOG_STEPS))
 
-    step = 0
+    from ..train.checkpoint import save_train_state
+
+    step = int(state.step)
     for epoch in range(epochs):
         for batch_idx, batch in enumerate(loader):
             toks = system.tokenize_batch(batch)
@@ -95,7 +108,8 @@ def main(argv=None):
                 },
                 mesh,
             )
-            rng, step_rng = jax.random.split(rng)
+            # Per-step rng from (seed, step): resume continues the sequence.
+            step_rng = jax.random.fold_in(rng, step)
             state, g_losses, d_losses = trainer.fit_step(state, dev_batch, step_rng, batch_idx)
             logger.log(step, epoch, {
                 "g_total": float(g_losses["total"]),
@@ -108,8 +122,10 @@ def main(argv=None):
             break
         if (epoch + 1) % int(tr.SAVE_EPOCH) == 0 or epoch == epochs - 1:
             save_checkpoint(os.path.join(args.out_dir, f"epoch_{epoch+1}"), state.params)
+            save_train_state(os.path.join(args.out_dir, f"epoch_{epoch+1}_state"), state)
 
     save_checkpoint(os.path.join(args.out_dir, "final"), state.params)
+    save_train_state(os.path.join(args.out_dir, "final_state"), state)
     print(f"training done: {step} steps, checkpoints in {args.out_dir}")
 
 

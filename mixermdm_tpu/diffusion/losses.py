@@ -231,6 +231,7 @@ def motion_training_losses(
     mask4 = mask.reshape(B, T, -1, 1)
 
     items = mse_training_losses(model_fn, s, target, t, rng)
+    losses_per_sample = items["mse"]  # (B,) — feeds the loss-aware sampler
     pred = items["pred"].reshape(B, T, P, -1)
     tgt = items["target"].reshape(B, T, P, -1)
     timestep_mask = (t <= t_bar).astype(x_start.dtype)
@@ -257,4 +258,5 @@ def motion_training_losses(
         )
         losses.update({f"geo_a_{k}": v for k, v in la.items()})
         losses["total"] = la["A"]
+    losses["mse_per_sample"] = losses_per_sample
     return losses

@@ -215,6 +215,7 @@ def mixer_training_losses(
     faithful_x2_norm_skip: bool = True,
     hinge_mask_mode: str = "reference",
     dropout_rng=None,
+    noise=None,
 ):
     """Hinge-GAN losses for generator or discriminator side (:1545-1767).
 
@@ -225,7 +226,8 @@ def mixer_training_losses(
     B, T = x_start.shape[:2]
     m = mask.reshape(B, T, -1)[..., :1].astype(jnp.float32)  # (B, T, 1)
 
-    noise = jax.random.normal(rng, x_start.shape, x_start.dtype)
+    if noise is None:
+        noise = jax.random.normal(rng, x_start.shape, x_start.dtype)
 
     # GT into model-1 (per-person centred + HML3D-normalised) space.
     xs1_1 = center_person(x_start[..., :nfeats], align)

@@ -193,11 +193,14 @@ class In2INSystem:
         return jnp.concatenate(parts, axis=1)
 
     # ------------------------------------------------------------------- loss
-    def compute_loss(self, params, motions, motion_lens, cond, rng, cond_mask_prob=0.1):
+    def compute_loss(self, params, motions, motion_lens, cond, rng,
+                     cond_mask_prob=0.1, t=None):
         """Training loss (in2in.py:246-283 -> MotionDiffusion.training_losses).
 
         ``motions``: (B, T, F[*2]) raw; ``cond`` pre-encoded.
-        Pure in params — safe under jit/grad.
+        Pure in params — safe under jit/grad.  ``t`` injects externally
+        sampled timesteps (schedule samplers, in2in.py:265); default is the
+        uniform draw.
         """
         B, T = motions.shape[:2]
         rng_mask, rng_t, rng_noise = jax.random.split(rng, 3)
@@ -208,7 +211,8 @@ class In2INSystem:
 
         seq_mask = generate_src_mask(T, motion_lens, B)
         rng_t, rng_drop = jax.random.split(rng_t)
-        t = jax.random.randint(rng_t, (B,), 0, self.train_schedule.num_timesteps)
+        if t is None:
+            t = jax.random.randint(rng_t, (B,), 0, self.train_schedule.num_timesteps)
 
         name = "interaction" if self.mode != "individual" else "individual"
         apply = self.denoiser_apply(name)

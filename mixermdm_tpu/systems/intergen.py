@@ -93,7 +93,8 @@ class InterGenSystem:
 
         return apply
 
-    def compute_loss(self, params, motions, motion_lens, cond, rng, cond_mask_prob=0.1):
+    def compute_loss(self, params, motions, motion_lens, cond, rng,
+                     cond_mask_prob=0.1, t=None):
         B, T = motions.shape[:2]
         rng_mask, rng_t, rng_noise = jax.random.split(rng, 3)
         if cond_mask_prob > 0:
@@ -101,7 +102,8 @@ class InterGenSystem:
             cond = cond * (1.0 - drop)
         seq_mask = generate_src_mask(T, motion_lens, B)
         rng_t, rng_drop = jax.random.split(rng_t)
-        t = jax.random.randint(rng_t, (B,), 0, self.train_schedule.num_timesteps)
+        if t is None:
+            t = jax.random.randint(rng_t, (B,), 0, self.train_schedule.num_timesteps)
         apply = self.denoiser_apply()
         dparams = params["denoiser"]
 

@@ -108,7 +108,8 @@ class MDMSystem:
 
         return apply
 
-    def compute_loss(self, params, motions, motion_lens, cond, rng, cond_mask_prob=0.1):
+    def compute_loss(self, params, motions, motion_lens, cond, rng,
+                     cond_mask_prob=0.1, t=None):
         from .in2in import generate_src_mask
 
         B, T = motions.shape[:2]
@@ -118,7 +119,8 @@ class MDMSystem:
             cond = cond * (1.0 - drop)
         seq_mask = generate_src_mask(T, motion_lens, B)
         rng_t, rng_drop = jax.random.split(rng_t)
-        t = jax.random.randint(rng_t, (B,), 0, self.train_schedule.num_timesteps)
+        if t is None:
+            t = jax.random.randint(rng_t, (B,), 0, self.train_schedule.num_timesteps)
         apply = self.denoiser_apply()
         dparams = params["denoiser"]
 

@@ -40,6 +40,30 @@ def restore_checkpoint(path: str, template=None):
     return ckptr.restore(os.path.abspath(path), template)
 
 
+def save_train_state(path: str, state) -> None:
+    """Save a FULL train state (params + optimizer state(s) + step [+ sampler
+    history]) so resume is bitwise-continuous — the reference restores all of
+    it via Lightning ``ckpt_path`` (scripts/train/mixermdm.py:340-343)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_train_state(path: str, template):
+    """Restore a full train state saved by :func:`save_train_state`.
+
+    ``template`` must be a freshly built state of the same trainer (for
+    structure/dtypes); returns the same NamedTuple type."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    flat = ckptr.restore(os.path.abspath(path), jax.tree_util.tree_map(lambda x: x, template))
+    return type(template)(*flat) if isinstance(flat, (list, tuple)) else flat
+
+
 # ---------------------------------------------------------------------------
 # torch -> flax converters (all take flat numpy state dicts)
 # ---------------------------------------------------------------------------

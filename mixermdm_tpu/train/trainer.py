@@ -142,11 +142,25 @@ class BaseTrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    sampler_state: Any = None   # loss-aware schedule-sampler history (or None)
 
 
 class BaseTrainer:
     """MSE+geometric trainer for In2IN / MDM / InterGen systems
-    (reference scripts/train/{in2IN,mdm}.py)."""
+    (reference scripts/train/{in2IN,mdm}.py).
+
+    ``sampler`` wires the SAMPLER config (reference in2in.py:152,225 —
+    ``create_named_schedule_sampler``): "uniform" (default) or
+    "loss-second-moment".  The loss-aware history updates from the
+    per-sample MSE each step; under data-parallel SPMD jit already sees the
+    global batch, so no explicit all_gather is needed (the reference's
+    ``dist.all_gather`` at gaussian_diffusion.py:98-119 —
+    ``diffusion.samplers.all_gather_losses`` exists for shard_map loops).
+
+    ``lr_schedule`` (an optax schedule fn) replaces the constant lr — used
+    for the reference's CosineWarmupScheduler in interaction training
+    (scripts/train/in2IN.py:51-58).
+    """
 
     def __init__(
         self,
@@ -157,11 +171,26 @@ class BaseTrainer:
         grad_acc_steps: int = 1,
         mesh=None,
         train_text_head: bool = True,
+        sampler: Optional[str] = None,
+        lr_schedule=None,
     ):
+        from ..diffusion.samplers import create_named_schedule_sampler
+
         self.system = system
         self.train_text_head = train_text_head
-        self.opt = make_adamw(lr, weight_decay, clip_norm, grad_acc_steps)
+        self.opt = make_adamw(lr, weight_decay, clip_norm, grad_acc_steps,
+                              schedule=lr_schedule)
         self.mesh = mesh
+
+        name = sampler
+        if name is None:
+            cfg = getattr(system, "cfg", None)
+            name = cfg.get("SAMPLER", "uniform") if cfg is not None else "uniform"
+        self.sampler_name = name
+        (self._sampler_state0, self._sample_t,
+         self._sampler_update) = create_named_schedule_sampler(
+            name, system.train_schedule.num_timesteps
+        )
 
         self._jit_step = jax.jit(self._step)
 
@@ -178,6 +207,7 @@ class BaseTrainer:
             params=params,
             opt_state=self.opt.init(_subset(params, self._trainable_keys(params))),
             step=jnp.zeros((), jnp.int32),
+            sampler_state=self._sampler_state0,
         )
 
     def _step(self, state: BaseTrainState, batch: dict, rng):
@@ -185,11 +215,17 @@ class BaseTrainer:
         keys = self._trainable_keys(state.params)
         token_keys = [k for k in batch if k.startswith("tokens")]
 
+        B = batch["motions"].shape[0]
+        rng, rng_t = jax.random.split(rng)
+        # Schedule-sampler draw (the reference discards the importance
+        # weights — in2in.py:265 `t, _ = self.sampler.sample(...)`).
+        t, _weights = self._sample_t(rng_t, B, state.sampler_state)
+
         def loss_fn(train_params):
             p = _merge(state.params, train_params)
             cond = sys.encode_cond_tokens(p, {k: batch[k] for k in token_keys})
             losses = sys.compute_loss(
-                p, batch["motions"], batch["motion_lens"], cond, rng
+                p, batch["motions"], batch["motion_lens"], cond, rng, t=t
             )
             return losses["total"], losses
 
@@ -204,8 +240,11 @@ class BaseTrainer:
             _L.set_pallas_attention(_old)
         updates, new_opt = self.opt.update(grads, state.opt_state, train_params)
         new_params = _merge(state.params, optax.apply_updates(train_params, updates))
+        new_sampler_state = self._sampler_update(
+            state.sampler_state, t, losses.get("mse_per_sample", jnp.zeros((B,)))
+        )
         return (
-            BaseTrainState(new_params, new_opt, state.step + 1),
+            BaseTrainState(new_params, new_opt, state.step + 1, new_sampler_state),
             losses,
         )
 

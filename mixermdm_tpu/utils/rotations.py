@@ -26,11 +26,19 @@ def jax_rsqrt(x):
 def rotation_6d_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
     """(..., 6) continuous 6d rep -> (..., 3, 3) via Gram-Schmidt.
 
+    IMPORTANT layout quirk: the reference vendors a MODIFIED PyTorch3D
+    converter (rotation_conversions.py:527-528) whose on-disk 6d layout is
+    INTERLEAVED — ``[r00, r10, r01, r11, r02, r12]`` — and deinterleaves with
+    ``[0,2,4] ++ [1,3,5]`` before the Gram-Schmidt step.  The 262-d motion
+    format (and every shipped checkpoint/dataset) uses that layout, so it is
+    reproduced here.
+
     Normalisation is eps-stabilised so degenerate all-zero inputs (the output
     of a fresh zero-init denoiser) stay finite; identical to the reference on
     any non-degenerate rotation.
     """
-    a1, a2 = d6[..., :3], d6[..., 3:]
+    a1 = d6[..., 0::2]
+    a2 = d6[..., 1::2]
     b1 = _safe_normalize(a1)
     b2 = a2 - (b1 * a2).sum(axis=-1, keepdims=True) * b1
     b2 = _safe_normalize(b2)
@@ -39,8 +47,11 @@ def rotation_6d_to_matrix(d6: jnp.ndarray) -> jnp.ndarray:
 
 
 def matrix_to_rotation_6d(m: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3, 3) -> (..., 6): the first two rows, flattened."""
-    return m[..., :2, :].reshape(m.shape[:-2] + (6,))
+    """(..., 3, 3) -> (..., 6): the first two rows, INTERLEAVED
+    (reference rotation_conversions.py:556-568 — see rotation_6d_to_matrix)."""
+    rows = m[..., :2, :]  # (..., 2, 3)
+    # [r00, r10, r01, r11, r02, r12] = transpose rows<->cols then flatten.
+    return jnp.swapaxes(rows, -1, -2).reshape(m.shape[:-2] + (6,))
 
 
 def axis_angle_to_quaternion(axis_angle: jnp.ndarray) -> jnp.ndarray:
@@ -84,44 +95,25 @@ def _sqrt_positive_part(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.maximum(x, 0.0) + 1e-24)
 
 
+def _copysign(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(b < 0, -jnp.abs(a), jnp.abs(a))
+
+
 def matrix_to_quaternion(m: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3, 3) -> (..., 4), numerically stable candidate-selection form."""
-    batch = m.shape[:-2]
-    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
-    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
-    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
-
-    q_abs = jnp.stack(
-        [
-            _sqrt_positive_part(1.0 + m00 + m11 + m22),
-            _sqrt_positive_part(1.0 + m00 - m11 - m22),
-            _sqrt_positive_part(1.0 - m00 + m11 - m22),
-            _sqrt_positive_part(1.0 - m00 - m11 + m22),
-        ],
-        axis=-1,
-    )
-
-    quat_by_rijk = jnp.stack(
-        [
-            jnp.stack([q_abs[..., 0] ** 2, m21 - m12, m02 - m20, m10 - m01], axis=-1),
-            jnp.stack([m21 - m12, q_abs[..., 1] ** 2, m10 + m01, m02 + m20], axis=-1),
-            jnp.stack([m02 - m20, m10 + m01, q_abs[..., 2] ** 2, m12 + m21], axis=-1),
-            jnp.stack([m10 - m01, m20 + m02, m21 + m12, q_abs[..., 3] ** 2], axis=-1),
-        ],
-        axis=-2,
-    )
-
-    flr = jnp.asarray(0.1, dtype=m.dtype)
-    quat_candidates = quat_by_rijk / (2.0 * jnp.maximum(q_abs[..., None], flr))
-
-    best = jnp.argmax(q_abs, axis=-1)
-    onehot = jax_one_hot(best, 4, dtype=m.dtype)
-    out = (quat_candidates * onehot[..., None]).sum(axis=-2)
-    return out.reshape(batch + (4,))
-
-
-def jax_one_hot(idx: jnp.ndarray, n: int, dtype=jnp.float32) -> jnp.ndarray:
-    return (idx[..., None] == jnp.arange(n)).astype(dtype)
+    """(..., 3, 3) -> (..., 4) wxyz, the reference's copysign form
+    (rotation_conversions.py:98-120).  w >= 0 always, so downstream
+    axis-angle magnitudes land in [0, pi] — representation-exact parity
+    (the newer PyTorch3D candidate-select form picks equivalent-but-
+    different sign branches)."""
+    m00, m11, m22 = m[..., 0, 0], m[..., 1, 1], m[..., 2, 2]
+    o0 = 0.5 * _sqrt_positive_part(1.0 + m00 + m11 + m22)
+    x = 0.5 * _sqrt_positive_part(1.0 + m00 - m11 - m22)
+    y = 0.5 * _sqrt_positive_part(1.0 - m00 + m11 - m22)
+    z = 0.5 * _sqrt_positive_part(1.0 - m00 - m11 + m22)
+    o1 = _copysign(x, m[..., 2, 1] - m[..., 1, 2])
+    o2 = _copysign(y, m[..., 0, 2] - m[..., 2, 0])
+    o3 = _copysign(z, m[..., 1, 0] - m[..., 0, 1])
+    return jnp.stack([o0, o1, o2, o3], axis=-1)
 
 
 def matrix_to_axis_angle(m: jnp.ndarray) -> jnp.ndarray:

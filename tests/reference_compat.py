@@ -31,6 +31,30 @@ def _unavailable(*_a, **_k):
     raise RuntimeError("external asset unavailable offline (stubbed for parity tests)")
 
 
+def _fake_clip_load(_name, device="cpu", jit=False):
+    """Deterministic random-weight stand-in for ``clip.load`` — only the
+    attributes the reference InterCLIP reads (evaluation/models.py:103-108):
+    token_embedding, positional_embedding, dtype."""
+    import torch as th
+    import torch.nn as nn
+
+    class _FakeClip(nn.Module):
+        def __init__(self):
+            super().__init__()
+            g = th.Generator().manual_seed(1234)
+            self.token_embedding = nn.Embedding(49408, 768)
+            with th.no_grad():
+                self.token_embedding.weight.copy_(
+                    th.randn(49408, 768, generator=g) * 0.02
+                )
+            self.positional_embedding = nn.Parameter(
+                th.randn(77, 768, generator=g) * 0.01
+            )
+            self.dtype = th.float32
+
+    return _FakeClip(), None
+
+
 def import_reference(module: str):
     """Import ``module`` (e.g. "models.utils.gaussian_diffusion") from the
     reference tree, stubbing its unavailable external deps."""
@@ -45,6 +69,22 @@ def import_reference(module: str):
         rend.lines = lines
 
     if "clip" not in sys.modules:
-        _stub("clip", load=_unavailable, tokenize=_unavailable)
+        _stub("clip", load=_fake_clip_load, tokenize=_unavailable)
+
+    if "yacs" not in sys.modules:
+        # utils.configs imports yacs at module scope; parity tests never call
+        # get_config, so a minimal CfgNode suffices.
+        class _CfgNode(dict):
+            def __init__(self, *a, new_allowed=False, **k):
+                super().__init__(*a, **k)
+
+            def merge_from_file(self, *_a, **_k):
+                _unavailable()
+
+            def freeze(self):
+                pass
+
+        yacs = _stub("yacs")
+        yacs.config = _stub("yacs.config", CfgNode=_CfgNode)
 
     return importlib.import_module(module)

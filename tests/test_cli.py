@@ -36,10 +36,17 @@ class TestCLISmoke:
 
         out = str(tmp_path / "eval.json")
         summary = main(["--tiny", "--replications", "1", "--out", out])
-        assert "FID" in summary
+        # Full paper protocol: both dataset sides, all five metric families
+        # (R-precision top-1/2/3 + MultiModality included), plus F-score.
+        for side in ("interhuman", "hml3d"):
+            assert side in summary
+            for metric in ("MM Distance", "R_precision_top1", "R_precision_top2",
+                           "R_precision_top3", "FID", "Diversity", "MultiModality"):
+                assert metric in summary[side], (side, metric)
+        assert "f_score" in summary and "FID" in summary["f_score"]
         with open(out) as f:
             loaded = json.load(f)
-        assert "MM Distance" in loaded
+        assert "interhuman" in loaded
 
     def test_dispatcher_help(self, capsys):
         import mixermdm_tpu.__main__ as m

@@ -157,7 +157,7 @@ class TestFastGeometryEquivalence:
         m = make_motion(rng, B=3, T=10)
         slow = A.smpl_to_ih(A.center_motion(A.ih_to_smpl(m)))
         fast = center_person_fast(m)
-        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=5e-4)
 
     def test_align_persons_fast(self):
         from mixermdm_tpu.utils.alignment import align_persons_fast

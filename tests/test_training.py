@@ -109,3 +109,124 @@ class TestFinetune:
         assert merged["blocks_0"]["sa_block"]["w"][0] == 1.0   # transferred
         assert merged["blocks_0"]["ca_block"]["w"][0] == 5.0   # fresh init kept
         assert merged["out"]["w"][0] == 2.0
+
+
+class TestScheduleSamplerWiring:
+    """VERDICT item 5: SAMPLER config reaches the trainer (loss-aware history
+    updates per step) and cosine warmup drives the lr."""
+
+    def _make(self, sampler):
+        sys_ = In2INSystem(
+            tiny_config(latent=32, layers=1, heads=2, diffusion_steps=8),
+            mode="individual", clip_cfg=ClipTextConfig.tiny(),
+        )
+        params = sys_.init_params(jax.random.PRNGKey(0))
+        trainer = BaseTrainer(sys_, lr=1e-3, sampler=sampler)
+        return sys_, trainer, trainer.init_state(params)
+
+    def _batch(self, sys_, B=4, T=12):
+        ctx = sys_.text.clip_cfg.context_length
+        return {
+            "motions": jax.random.normal(jax.random.PRNGKey(1), (B, T, 262)) * 0.3,
+            "motion_lens": jnp.asarray([T] * B),
+            "tokens": jnp.zeros((B, ctx), jnp.int32).at[:, 0].set(49406).at[:, 1].set(49407),
+        }
+
+    def test_loss_aware_history_updates(self):
+        sys_, trainer, state = self._make("loss-second-moment")
+        assert state.sampler_state is not None
+        batch = self._batch(sys_)
+        for i in range(3):
+            state, losses = trainer.step(state, batch, jax.random.PRNGKey(10 + i))
+        # 3 steps x batch 4 = 12 inserts over 8 timesteps.
+        assert int(np.asarray(state.sampler_state.counts).sum()) == 12
+        assert float(np.abs(np.asarray(state.sampler_state.history)).sum()) > 0
+
+    def test_sampler_from_system_config(self):
+        cfg = tiny_config(latent=32, layers=1, heads=2, diffusion_steps=8)
+        cfg["SAMPLER"] = "loss-second-moment"
+        sys_ = In2INSystem(cfg, mode="individual", clip_cfg=ClipTextConfig.tiny())
+        trainer = BaseTrainer(sys_, lr=1e-3)
+        assert trainer.sampler_name == "loss-second-moment"
+        state = trainer.init_state(sys_.init_params(jax.random.PRNGKey(0)))
+        assert state.sampler_state is not None
+
+    def test_cosine_warmup_schedule_drives_lr(self):
+        from mixermdm_tpu.train.optim import cosine_warmup_schedule
+
+        sched = cosine_warmup_schedule(1.0, warmup=10, max_iters=100)
+        import jax.numpy as jnp2
+
+        v0 = float(sched(jnp2.asarray(0)))
+        v9 = float(sched(jnp2.asarray(9)))
+        v50 = float(sched(jnp2.asarray(50)))
+        v99 = float(sched(jnp2.asarray(99)))
+        assert v0 < v9 <= 1.0          # warmup ramps up
+        assert 0.4 < v50 < 0.6         # half-way cosine
+        assert v99 < 0.01              # decays to ~0
+
+        sys_ = In2INSystem(
+            tiny_config(latent=32, layers=1, heads=2, diffusion_steps=8),
+            mode="individual", clip_cfg=ClipTextConfig.tiny(),
+        )
+        params = sys_.init_params(jax.random.PRNGKey(0))
+        trainer = BaseTrainer(sys_, lr=1e-3, lr_schedule=sched)
+        state = trainer.init_state(params)
+        state, _ = trainer.step(state, self._batch(sys_), jax.random.PRNGKey(5))
+        assert int(state.step) == 1  # schedule-driven optimizer steps fine
+
+
+class TestFullStateResume:
+    """VERDICT item 5: resumed run is bitwise-continuous with an unbroken one
+    (reference Lightning ckpt_path, scripts/train/mixermdm.py:340-343)."""
+
+    def test_mixer_resume_bitwise(self, tmp_path):
+        import sys as _s, os
+
+        _s.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from __graft_entry__ import _tiny_system
+
+        from mixermdm_tpu.train.checkpoint import (
+            restore_train_state,
+            save_train_state,
+        )
+
+        system = _tiny_system()
+        params = system.init_params(jax.random.PRNGKey(0))
+        params = jax.tree_util.tree_map(
+            lambda x: x + 0.01 * jax.random.normal(jax.random.PRNGKey(7), x.shape), params
+        )
+        trainer = MixerTrainer(system, lr=1e-3, grad_acc_steps=2)
+        B, T = 2, 12
+        ctx = system.text.clip_cfg.context_length
+        tok = jnp.zeros((B, ctx), jnp.int32).at[:, 0].set(49406).at[:, 1].set(49407)
+        batch = {
+            "motions": jax.random.normal(jax.random.PRNGKey(1), (B, T, 524)) * 0.1,
+            "motion_lens": jnp.asarray([T - 2, T - 4]),
+            "tokens_inter": tok, "tokens_i1": tok, "tokens_i2": tok,
+        }
+        rngs = [jax.random.PRNGKey(100 + i) for i in range(4)]
+
+        # Unbroken: 4 steps (grad_acc 2 means optimizer state matters at 2).
+        state = trainer.init_state(params)
+        for i in range(4):
+            state, _, _ = trainer.fit_step(state, batch, rngs[i], i)
+
+        # Broken: 2 steps, save FULL state, restore into a fresh trainer.
+        state_b = trainer.init_state(params)
+        for i in range(2):
+            state_b, _, _ = trainer.fit_step(state_b, batch, rngs[i], i)
+        save_train_state(str(tmp_path / "state"), state_b)
+
+        trainer2 = MixerTrainer(system, lr=1e-3, grad_acc_steps=2)
+        state_c = trainer2.init_state(params)
+        state_c = restore_train_state(str(tmp_path / "state"), state_c)
+        assert int(state_c.step) == int(state_b.step)
+        for i in range(2, 4):
+            state_c, _, _ = trainer2.fit_step(state_c, batch, rngs[i], i)
+
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(state_c.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
