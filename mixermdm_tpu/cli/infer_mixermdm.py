@@ -114,6 +114,19 @@ def main(argv=None):
     except Exception as e:  # rendering is best-effort (no display/ffmpeg)
         print(f"(skipped video render: {e})")
 
+    try:
+        from ..utils.plot import plot_influence
+
+        mode = int(system.cfg.MIXING_MODE)
+        pdf = plot_influence(
+            os.path.join(args.out_dir, args.name),
+            np.asarray(out["influence_i1"]), mixing_mode=mode,
+            influence2=np.asarray(out["influence_i2"]),
+        )
+        print(f"influence plot: {pdf}")
+    except Exception as e:
+        print(f"(skipped influence plot: {e})")
+
 
 if __name__ == "__main__":
     main()

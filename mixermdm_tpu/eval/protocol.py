@@ -43,7 +43,18 @@ class EvalProtocol:
 
 
 class EvaluatorWrapper:
-    """Co-embedding provider over an InterCLIP system (utils.py:126-235)."""
+    """Co-embedding provider over an InterCLIP system (utils.py:126-235).
+
+    On the reference's length-sorting (utils.py:164-166): it sorts motions by
+    length descending, encodes, and permutes the text embeddings with the
+    same ``align_idx`` — so the returned (text, motion) pairs are merely a
+    consistent permutation of the inputs, and every downstream metric
+    (MM-dist trace, R-precision, FID, diversity) is permutation-invariant.
+    Its only other effect, truncating the batch to ``padded_len``, is
+    equivalent to our key-padding masking.  The sort is therefore omitted;
+    ``tests/test_eval.py::TestPermutationInvariance`` proves the invariance.
+    The Individual wrapper (utils.py:256-321) never sorts.
+    """
 
     def __init__(self, interclip, params):
         self.model = interclip

@@ -68,45 +68,119 @@ def plot_3d_motion(save_path: str, motion: np.ndarray, title: str = "",
     return save_path
 
 
-def plot_influence(save_path: str, influence: np.ndarray, mixing_mode: int = 4):
-    """Influence visualisation dispatched per mode (plot.py:352-363).
+_INFL_CMAP_WARM = ["#8A033E", "#C44E30", "#FCC00B"]
+_INFL_CMAP_COOL = ["#084E8C", "#A7BFBB", "#B3CE75"]
 
-    ``influence``: stacked per-denoise-step weights — (S,), (S, T),
-    (S, 23) or (S, T, 23) after averaging batch dims.
+
+def influence_joint_weights(history: np.ndarray) -> np.ndarray:
+    """Recover the 23 per-joint weights from an expanded (..., 262) history
+    (reference plot.py:218-219, 265-266): every 3rd of the 66 position dims
+    (the 22 joint weights repeat x3) plus dim 192 (the contact weight as the
+    reference reads it back)."""
+    history = np.asarray(history)
+    return np.concatenate(
+        [history[..., :66:3], history[..., 192:193]], axis=-1
+    )
+
+
+def influence_surfaces(history: np.ndarray, mode: int):
+    """The exact arrays the reference plots per mode (plot.py:134-352).
+
+    ``history``: (S, B, T, 262) stacked per-denoise-step expanded weights.
+    Returns a dict of named 1-D/2-D arrays (sample 0, as upstream).
+    """
+    h = np.asarray(history)
+    if h.ndim == 3:          # (S, T, 262) — single sample
+        h = h[:, None]
+    if mode == 1:
+        return {"line": h[:, 0, 0, 0]}                       # (S,)
+    if mode == 2:
+        return {"step_x_time": h[:, 0, :, 0]}                # (S, T)
+    h23 = influence_joint_weights(h)
+    if mode == 3:
+        return {"step_x_joint": h23[:, 0, 0, :]}             # (S, 23)
+    if mode == 4:
+        return {
+            "step_x_time": h23[:, 0, :, :].mean(axis=-1),    # (S, T)
+            "step_x_joint": h23[:, 0, :, :].mean(axis=-2),   # (S, 23)
+        }
+    raise ValueError(f"unknown mixing mode {mode}")
+
+
+def _surface_pdf(pdf, X, Y, Z, ylabel, cmap_colors, y_ticks_max):
+    import matplotlib.pyplot as plt
+    from matplotlib.colors import LinearSegmentedColormap
+    from matplotlib.ticker import FormatStrFormatter
+
+    cmap = LinearSegmentedColormap.from_list("custom_cmap", cmap_colors)
+    fig = plt.figure(figsize=(18, 6))
+    ax = fig.add_subplot(111, projection="3d")
+    ax.set_box_aspect([1.5, 1.5, 0.9])
+    ax.plot_surface(X, Y, Z, cmap=cmap, edgecolor="none")
+    max_val = max(float(Z.max()), 1e-6)
+    ax.set_xlabel("Denoising Step", fontsize=14, labelpad=10)
+    ax.set_ylabel(ylabel, fontsize=14, labelpad=10)
+    ax.set_zlim(0, max_val)
+    ax.zaxis.set_ticks(np.linspace(0, max_val, 3))
+    ax.zaxis.set_major_formatter(FormatStrFormatter("%.2f"))
+    ax.xaxis.set_ticks(np.linspace(0, Z.shape[0], 4).astype(int))
+    ax.yaxis.set_ticks(np.linspace(0, y_ticks_max, 5).astype(int))
+    ax.tick_params(axis="both", which="major", labelsize=14)
+    pdf.savefig(fig)
+    plt.close(fig)
+
+
+def plot_influence(save_path: str, influence: np.ndarray, mixing_mode: int = 4,
+                   influence2: np.ndarray | None = None):
+    """Influence PDFs matching the reference per mode (plot.py:134-363).
+
+    ``influence``: (S, B, T, 262) person-1 expanded-weight history (or
+    (S, T, 262)); mode 1 draws the gradient-coloured line, mode 2 the
+    step x timestep surface, mode 3 the step x joint surface, mode 4 BOTH
+    the joint-mean step x timestep and the time-mean step x joint surfaces.
+    Writes ``{save_path}_influence{mode}.pdf``.
     """
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+    from matplotlib.backends.backend_pdf import PdfPages
+    from matplotlib.colors import LinearSegmentedColormap, Normalize
 
-    infl = np.asarray(influence)
-    # Collapse any batch axes so the leading axis is the denoise step.
-    while infl.ndim > (1 if mixing_mode == 1 else 2 if mixing_mode in (2, 3) else 3):
-        infl = infl.mean(axis=1)
+    base = save_path.rsplit(".", 1)[0] if save_path.endswith(".pdf") else save_path
+    out_path = f"{base}_influence{mixing_mode}.pdf"
+    surfaces = influence_surfaces(influence, mixing_mode)
 
-    fig, ax = plt.subplots(figsize=(7, 4))
-    if mixing_mode == 1:
-        ax.plot(infl)
-        ax.set_xlabel("denoise step")
-        ax.set_ylabel("influence")
-    elif mixing_mode == 2:
-        im = ax.imshow(infl, aspect="auto", cmap="viridis", vmin=0, vmax=1)
-        fig.colorbar(im, ax=ax)
-        ax.set_xlabel("frame")
-        ax.set_ylabel("denoise step")
-    elif mixing_mode == 3:
-        im = ax.imshow(infl, aspect="auto", cmap="viridis", vmin=0, vmax=1)
-        fig.colorbar(im, ax=ax)
-        ax.set_xlabel("joint")
-        ax.set_ylabel("denoise step")
-    else:
-        # Spatio-temporal: show the per-step joint means.
-        im = ax.imshow(infl.mean(axis=1), aspect="auto", cmap="viridis", vmin=0, vmax=1)
-        fig.colorbar(im, ax=ax)
-        ax.set_xlabel("joint")
-        ax.set_ylabel("denoise step")
-    ax.set_title(f"influence (mode {mixing_mode})")
-    fig.tight_layout()
-    fig.savefig(save_path)
-    plt.close(fig)
-    return save_path
+    with PdfPages(out_path) as pdf:
+        if mixing_mode == 1:
+            line = surfaces["line"]
+            cmap = LinearSegmentedColormap.from_list("custom_cmap", _INFL_CMAP_WARM)
+            norm = Normalize(vmin=float(line.min()), vmax=float(line.max()) or 1.0)
+            fig, ax = plt.subplots(figsize=(6, 5))
+            for i in range(len(line) - 1):
+                ax.plot([i, i + 1], line[i : i + 2],
+                        color=cmap(norm(line[i])), linewidth=3)
+            ax.set_xlabel("Denoising Step", fontsize=15, labelpad=10)
+            fig.tight_layout()
+            pdf.savefig(fig)
+            plt.close(fig)
+        elif mixing_mode == 2:
+            Z = surfaces["step_x_time"]
+            X, Y = np.meshgrid(np.arange(Z.shape[0]), np.arange(Z.shape[1]),
+                               indexing="ij")
+            _surface_pdf(pdf, X, Y, Z, "Timestep", _INFL_CMAP_WARM, 300)
+        elif mixing_mode == 3:
+            Z = surfaces["step_x_joint"]
+            X, Y = np.meshgrid(np.arange(Z.shape[0]), np.arange(Z.shape[1]),
+                               indexing="ij")
+            _surface_pdf(pdf, X, Y, Z, "Joint", _INFL_CMAP_COOL, 23)
+        else:
+            Zt = surfaces["step_x_time"]
+            Xt, Yt = np.meshgrid(np.arange(Zt.shape[0]), np.arange(Zt.shape[1]),
+                                 indexing="ij")
+            _surface_pdf(pdf, Xt, Yt, Zt, "Timestep", _INFL_CMAP_WARM, 300)
+            Zj = surfaces["step_x_joint"]
+            Xj, Yj = np.meshgrid(np.arange(Zj.shape[0]), np.arange(Zj.shape[1]),
+                                 indexing="ij")
+            _surface_pdf(pdf, Xj, Yj, Zj, "Joint", _INFL_CMAP_WARM, 23)
+    return out_path

@@ -129,3 +129,38 @@ class TestInterCLIP:
         mean_i, mean_h = 1.1, 2.1
         want = 2 * mean_i * mean_h / (mean_i + mean_h)
         assert abs(f["FID"]["model"][0] - want) < 1e-9
+
+
+class TestPermutationInvariance:
+    """The reference's length-sorting (evaluation/utils.py:164-166) is a
+    consistent permutation of (text, motion) pairs — prove the metrics are
+    invariant under it, justifying its omission (see protocol.py docstring)."""
+
+    def test_matching_metrics_invariant_under_item_permutation(self, tiny_interclip):
+        model, params = tiny_interclip
+        wrapper = EvaluatorWrapper(model, params)
+        rng = np.random.default_rng(9)
+        B, T = 6, 10
+        texts = [f"text {j}" for j in range(B)]
+        motions = jnp.asarray(rng.standard_normal((B, T, 524)), jnp.float32)
+        lens = jnp.asarray([10, 6, 8, 10, 7, 9])
+
+        # Length-descending permutation, as the reference applies.
+        order = np.argsort(-np.asarray(lens), kind="stable")
+        perm = (
+            [texts[i] for i in order],
+            motions[jnp.asarray(order)],
+            lens[jnp.asarray(order)],
+        )
+
+        m0, r0, a0 = evaluate_matching_score(
+            {"gen": [(texts, motions, lens)]}, wrapper
+        )
+        m1, r1, a1 = evaluate_matching_score({"gen": [perm]}, wrapper)
+        assert abs(m0["gen"] - m1["gen"]) < 1e-4
+        np.testing.assert_allclose(r0["gen"], r1["gen"], atol=1e-6)
+        # FID/diversity consume activation statistics — also order-invariant.
+        mu0, cov0 = M.calculate_activation_statistics(a0["gen"])
+        mu1, cov1 = M.calculate_activation_statistics(a1["gen"])
+        np.testing.assert_allclose(mu0, mu1, atol=1e-5)
+        np.testing.assert_allclose(cov0, cov1, atol=1e-5)
