@@ -72,6 +72,14 @@ class MixerTrainer:
         # then compiles an SPMD program with the gradient psum over ICI.
         self._gen_step = jax.jit(partial(self._step, mode="generator"))
         self._disc_step = jax.jit(partial(self._step, mode="discriminator"))
+        # Fused G(+D) program: ONE dispatch per batch (per-step Python
+        # dispatch over the device tunnel is pure overhead — SURVEY §7's
+        # "three-network GAN" hard part).  ``do_disc`` is static, so at most
+        # two traces exist (G-only and G+D).
+        self._fused_step = {
+            True: jax.jit(partial(self._fused, do_disc=True)),
+            False: jax.jit(partial(self._fused, do_disc=False)),
+        }
 
     def init_state(self, params) -> MixerTrainState:
         return MixerTrainState(
@@ -121,6 +129,14 @@ class MixerTrainer:
             new_state = state._replace(params=new_params, opt_disc=new_opt_state)
         return new_state, losses
 
+    def _fused(self, state, batch, rng, *, do_disc: bool):
+        rng_g, rng_d = jax.random.split(rng)
+        state, g_losses = self._step(state, batch, rng_g, mode="generator")
+        d_losses = None
+        if do_disc:
+            state, d_losses = self._step(state, batch, rng_d, mode="discriminator")
+        return state, g_losses, d_losses
+
     def generator_step(self, state, batch, rng):
         return self._gen_step(state, batch, rng)
 
@@ -129,13 +145,9 @@ class MixerTrainer:
 
     def fit_step(self, state: MixerTrainState, batch: dict, rng, batch_idx: int):
         """One harness step: G every batch, D every ``discriminator_steps``
-        (scripts/train/mixermdm.py:146-207)."""
-        rng_g, rng_d = jax.random.split(rng)
-        state, g_losses = self.generator_step(state, batch, rng_g)
-        d_losses = None
-        if batch_idx % self.discriminator_steps == 0:
-            state, d_losses = self.discriminator_step(state, batch, rng_d)
-        return state, g_losses, d_losses
+        (scripts/train/mixermdm.py:146-207) — compiled as ONE program."""
+        do_disc = batch_idx % self.discriminator_steps == 0
+        return self._fused_step[do_disc](state, batch, rng)
 
 
 class BaseTrainState(NamedTuple):
