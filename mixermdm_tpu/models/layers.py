@@ -89,11 +89,15 @@ class ZeroLinear(nn.Module):
     """Zero-initialised dense (reference ``zero_module``, utils.py:91-97)."""
 
     features: int
+    in_features: Optional[int] = None  # required only for params-only calls
 
     @nn.compact
-    def __call__(self, x):
-        kernel = self.param("kernel", nn.initializers.zeros, (x.shape[-1], self.features))
+    def __call__(self, x=None):
+        in_features = self.in_features if x is None else x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.zeros, (in_features, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if x is None:
+            return kernel, bias
         return x @ kernel.astype(x.dtype) + bias.astype(x.dtype)
 
 
@@ -112,10 +116,14 @@ class AdaLN(nn.Module):
     latent_dim: int
 
     @nn.compact
-    def __call__(self, h, emb):
+    def __call__(self, h, emb, modulation_only: bool = False):
         # emb: (B, E) -> scale/shift (B, 2*latent); zero-init => identity at init.
         emb_out = ZeroLinear(2 * self.latent_dim, name="emb_proj")(silu(emb))
-        scale, shift = jnp.split(emb_out.astype(h.dtype), 2, axis=-1)
+        dt = emb.dtype if h is None else h.dtype
+        scale, shift = jnp.split(emb_out.astype(dt), 2, axis=-1)
+        if modulation_only:
+            # For fused Pallas blocks: the LN + modulation happen in-kernel.
+            return scale, shift
         return layer_norm(h, eps=1e-6) * (1.0 + scale[:, None]) + shift[:, None]
 
 
@@ -137,11 +145,23 @@ class TorchMultiheadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, key, value, key_padding_mask=None, attn_mask=None,
-                 train: bool = False):
-        B, Tq, _ = query.shape
-        Tk = key.shape[1]
+                 train: bool = False, params_only: bool = False):
         E, H = self.embed_dim, self.num_heads
         head_dim = E // H
+
+        if params_only:
+            # Raw projection params for fused Pallas block kernels.
+            kd = self.kdim or E
+            vd = self.vdim or E
+            return (
+                TorchLinear(E, name="q_proj", in_features=E)(None),
+                TorchLinear(E, name="k_proj", in_features=kd)(None),
+                TorchLinear(E, name="v_proj", in_features=vd)(None),
+                TorchLinear(E, name="out_proj", in_features=E)(None),
+            )
+
+        B, Tq, _ = query.shape
+        Tk = key.shape[1]
 
         # NOTE: a fused (E, 3E) self-attention QKV projection was measured at
         # parity with three separate matmuls here (XLA already schedules them
@@ -202,6 +222,19 @@ class TorchMultiheadAttention(nn.Module):
         return TorchLinear(E, name="out_proj")(out)
 
 
+def _fusable_block(x, latent_dim: int, num_heads: int, train: bool) -> bool:
+    """Whether the fused AdaLN+MHA Pallas block applies: bf16 production
+    path, lane-aligned head slices (the in-kernel per-head column slicing
+    needs 128-multiples), inference only."""
+    return (
+        use_pallas_attention()
+        and not train
+        and x.dtype == jnp.bfloat16
+        and latent_dim % 128 == 0
+        and (latent_dim // num_heads) % 128 == 0
+    )
+
+
 class VanillaSelfAttention(nn.Module):
     """AdaLN-conditioned self-attention (layers.py:28-45)."""
 
@@ -211,6 +244,20 @@ class VanillaSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb, key_padding_mask=None, train: bool = False):
+        if _fusable_block(x, self.latent_dim, self.num_heads, train):
+            from ..ops.fused_block import fused_sa_block
+
+            scale, shift = AdaLN(self.latent_dim, name="norm")(
+                None, emb, modulation_only=True
+            )
+            (wq, bq), (wk, bk), (wv, bv), (wo, bo) = TorchMultiheadAttention(
+                self.latent_dim, self.num_heads, dropout=self.dropout,
+                name="attention",
+            )(None, None, None, params_only=True)
+            return fused_sa_block(
+                x, scale, shift, wq, bq, wk, bk, wv, bv, wo, bo,
+                key_padding_mask, n_heads=self.num_heads,
+            )
         x_norm = AdaLN(self.latent_dim, name="norm")(x, emb)
         return TorchMultiheadAttention(
             self.latent_dim, self.num_heads, dropout=self.dropout, name="attention"
@@ -242,6 +289,28 @@ class VanillaCrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, xf, emb, key_padding_mask=None, train: bool = False):
+        if (
+            _fusable_block(x, self.latent_dim, self.num_heads, train)
+            and self.xf_latent_dim == self.latent_dim
+        ):
+            from ..ops.fused_block import fused_ca_block
+
+            scale, shift = AdaLN(self.latent_dim, name="norm")(
+                None, emb, modulation_only=True
+            )
+            xf_scale, xf_shift = AdaLN(self.xf_latent_dim, name="xf_norm")(
+                None, emb, modulation_only=True
+            )
+            (wq, bq), (wk, bk), (wv, bv), (wo, bo) = TorchMultiheadAttention(
+                self.latent_dim, self.num_heads,
+                kdim=self.xf_latent_dim, vdim=self.xf_latent_dim,
+                dropout=self.dropout, name="attention",
+            )(None, None, None, params_only=True)
+            return fused_ca_block(
+                x, xf, scale, shift, xf_scale, xf_shift,
+                wq, bq, wk, bk, wv, bv, wo, bo,
+                key_padding_mask, n_heads=self.num_heads,
+            )
         x_norm = AdaLN(self.latent_dim, name="norm")(x, emb)
         xf_norm = AdaLN(self.xf_latent_dim, name="xf_norm")(xf, emb)
         return TorchMultiheadAttention(
@@ -263,6 +332,23 @@ class FFN(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb=None, train: bool = False):
+        if (
+            use_pallas_attention() and not train and x.dtype == jnp.bfloat16
+            and self.latent_dim % 128 == 0 and self.ffn_dim % 128 == 0
+        ):
+            from ..ops.fused_block import fused_ffn_block
+
+            if emb is not None:
+                scale, shift = AdaLN(self.latent_dim, name="norm")(
+                    None, emb, modulation_only=True
+                )
+            else:
+                scale = shift = None
+            w1, b1 = TorchLinear(self.ffn_dim, name="linear1",
+                                 in_features=self.latent_dim)(None)
+            w2, b2 = ZeroLinear(self.latent_dim,
+                                in_features=self.ffn_dim, name="linear2")(None)
+            return fused_ffn_block(x, scale, shift, w1, b1, w2, b2)
         if emb is not None:
             x = AdaLN(self.latent_dim, name="norm")(x, emb)
         h = TorchLinear(self.ffn_dim, name="linear1")(x)

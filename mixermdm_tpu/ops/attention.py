@@ -204,7 +204,6 @@ def _fa_both_bwd(zero_attn, interpret, res, g):
 _fa_both.defvjp(_fa_both_fwd, _fa_both_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("zero_attn", "interpret"))
 def _fused_attention_impl(
     q, k, v, key_padding_mask, attn_mask, zero_attn: bool = True, interpret: bool = False
 ) -> jnp.ndarray:

@@ -1,0 +1,357 @@
+"""Pallas TPU mega-kernels: whole transformer sub-blocks in one program.
+
+The per-step profile of the DDIM chain (see BASELINE.md) is ~45% MXU
+matmuls, ~30% attention-softmax VPU work and ~25% elementwise HBM passes
+spread over many small XLA kernels that execute *serially*.  Fusing an
+entire ``x + MHA(AdaLN(x))`` sub-block (reference layers.py:28-45 semantics)
+into ONE Pallas program lets Mosaic software-pipeline the MXU projections
+against the VPU softmax/LayerNorm and keeps every intermediate in VMEM —
+the activations make a single HBM round trip per block.
+
+Weights ride in with constant index maps, so Mosaic keeps them resident in
+VMEM across the batch grid instead of re-fetching per program.
+
+Forward-only (sampling): training takes the XLA path (see
+models/layers.py), so no custom_vjp is needed here.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import NEG_INF, _round_up
+
+# Test hook, mirroring ops.attention.FORCE_INTERPRET.
+FORCE_INTERPRET = False
+
+
+def _ln(x32, eps):
+    mean = x32.mean(axis=-1, keepdims=True)
+    var = ((x32 - mean) ** 2).mean(axis=-1, keepdims=True)
+    return (x32 - mean) * jax.lax.rsqrt(var + eps)
+
+
+def _sa_block_kernel(
+    x_ref, scale_ref, shift_ref, kbias_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    out_ref,
+    *, n_heads: int, attn_scale: float, zero_attn: bool, eps: float,
+):
+    T, E = x_ref.shape[1], x_ref.shape[2]
+    D = E // n_heads
+    x = x_ref[0]                                     # (T_pad, E) input dtype
+    cd = x.dtype
+
+    # AdaLN: affine-free LN (f32 stats) then the conditioning modulation.
+    xn = _ln(x.astype(jnp.float32), eps).astype(cd)
+    xn = xn * (1.0 + scale_ref[0, 0]) + shift_ref[0, 0]   # (T_pad, E)
+
+    # QKV projections — MXU, f32 accumulate.
+    q = jax.lax.dot_general(xn, wq_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + bq_ref[...]
+    k = jax.lax.dot_general(xn, wk_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + bk_ref[...]
+    v = jax.lax.dot_general(xn, wv_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + bv_ref[...]
+    q = q.astype(cd)
+    k = k.astype(cd)
+    v = v.astype(cd)
+
+    kbias = kbias_ref[0]                             # (1, T_pad) key bias row
+    soft_dtype = jnp.bfloat16 if cd == jnp.bfloat16 else jnp.float32
+
+    heads = []
+    for h in range(n_heads):
+        qh = q[:, h * D : (h + 1) * D]
+        kh = k[:, h * D : (h + 1) * D]
+        vh = v[:, h * D : (h + 1) * D]
+        logits = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * attn_scale
+        logits = logits + kbias
+        row_max = jnp.max(logits, axis=-1, keepdims=True)
+        if zero_attn:
+            row_max = jnp.maximum(row_max, 0.0)
+        p = jnp.exp((logits - row_max).astype(soft_dtype))
+        denom = p.astype(jnp.float32).sum(axis=-1, keepdims=True)
+        if zero_attn:
+            denom = denom + jnp.exp(-row_max)
+        p = (p.astype(jnp.float32) / denom).astype(cd)
+        heads.append(jax.lax.dot_general(
+            p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ))
+    attn_out = jnp.concatenate(heads, axis=-1)
+
+    y = jax.lax.dot_general(
+        attn_out.astype(cd), wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[...]
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def fused_sa_block(
+    x: jnp.ndarray,              # (B, T, E)
+    scale: jnp.ndarray,          # (B, E) AdaLN scale
+    shift: jnp.ndarray,          # (B, E) AdaLN shift
+    wq, bq, wk, bk, wv, bv, wo, bo,   # (E, E) / (E,)
+    key_padding_mask=None,       # (B, T) bool, True = masked
+    *,
+    n_heads: int,
+    zero_attn: bool = True,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``MHA(AdaLN(x) * (1+scale) + shift)`` as one Pallas program per batch
+    item (self-attention; torch add_zero_attn semantics).  NO residual — the
+    caller's transformer block adds it (blocks.py parity)."""
+    interpret = interpret or FORCE_INTERPRET
+    B, T, E = x.shape
+    D = E // n_heads
+    attn_scale = 1.0 / (D ** 0.5)
+
+    T_p = _round_up(max(T, 128), 128)   # T is both Tq and Tk here
+    xp = jnp.pad(x, ((0, 0), (0, T_p - T), (0, 0)))
+
+    key_valid = jnp.arange(T_p) < T
+    kbias = jnp.where(key_valid[None, :], 0.0, NEG_INF).astype(jnp.float32)
+    kbias = jnp.broadcast_to(kbias, (B, T_p))
+    if key_padding_mask is not None:
+        kpm = jnp.pad(key_padding_mask, ((0, 0), (0, T_p - T)), constant_values=True)
+        kbias = jnp.where(kpm, NEG_INF, kbias)
+    kbias = kbias[:, None, :]
+
+    cd = x.dtype
+    w = lambda a: a.astype(cd)
+    row = lambda a: a.astype(jnp.float32).reshape(1, E)
+
+    batch_spec = pl.BlockSpec((1, T_p, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    # (B, 1, E) with block (1, 1, E): last-two dims match the array, which
+    # the TPU lowering requires for non-multiple block sizes.
+    vec_spec = pl.BlockSpec((1, 1, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    const2 = pl.BlockSpec((E, E), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    const1 = pl.BlockSpec((1, E), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _sa_block_kernel, n_heads=n_heads, attn_scale=attn_scale,
+            zero_attn=zero_attn, eps=eps,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T_p, E), x.dtype),
+        grid=(B,),
+        in_specs=[
+            batch_spec, vec_spec, vec_spec,
+            pl.BlockSpec((1, 1, T_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            const2, const1, const2, const1, const2, const1, const2, const1,
+        ],
+        out_specs=batch_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T_p * E * (4 * E + 2 * T_p),
+            bytes_accessed=2 * B * T_p * E * 2 + 4 * E * E * 2,
+            transcendentals=B * n_heads * T_p * T_p,
+        ),
+        interpret=interpret,
+    )(
+        xp, scale.astype(cd)[:, None], shift.astype(cd)[:, None], kbias,
+        w(wq), row(bq), w(wk), row(bk), w(wv), row(bv), w(wo), row(bo),
+    )
+    return out[:, :T]
+
+
+def _ca_block_kernel(
+    x_ref, xf_ref, scale_ref, shift_ref, xf_scale_ref, xf_shift_ref, kbias_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    out_ref,
+    *, n_heads: int, attn_scale: float, zero_attn: bool, eps: float,
+):
+    """x-attends-xf cross attention with per-stream AdaLN (layers.py:68-88)."""
+    E = x_ref.shape[2]
+    D = E // n_heads
+    x = x_ref[0]
+    xf = xf_ref[0]
+    cd = x.dtype
+
+    xn = _ln(x.astype(jnp.float32), eps).astype(cd)
+    xn = xn * (1.0 + scale_ref[0, 0]) + shift_ref[0, 0]
+    xfn = _ln(xf.astype(jnp.float32), eps).astype(cd)
+    xfn = xfn * (1.0 + xf_scale_ref[0, 0]) + xf_shift_ref[0, 0]
+
+    q = (jax.lax.dot_general(xn, wq_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) + bq_ref[...]).astype(cd)
+    k = (jax.lax.dot_general(xfn, wk_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) + bk_ref[...]).astype(cd)
+    v = (jax.lax.dot_general(xfn, wv_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) + bv_ref[...]).astype(cd)
+
+    kbias = kbias_ref[0]
+    soft_dtype = jnp.bfloat16 if cd == jnp.bfloat16 else jnp.float32
+    heads = []
+    for h in range(n_heads):
+        qh = q[:, h * D : (h + 1) * D]
+        kh = k[:, h * D : (h + 1) * D]
+        vh = v[:, h * D : (h + 1) * D]
+        logits = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * attn_scale
+        logits = logits + kbias
+        row_max = jnp.max(logits, axis=-1, keepdims=True)
+        if zero_attn:
+            row_max = jnp.maximum(row_max, 0.0)
+        p = jnp.exp((logits - row_max).astype(soft_dtype))
+        denom = p.astype(jnp.float32).sum(axis=-1, keepdims=True)
+        if zero_attn:
+            denom = denom + jnp.exp(-row_max)
+        p = (p.astype(jnp.float32) / denom).astype(cd)
+        heads.append(jax.lax.dot_general(
+            p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(cd))
+    attn_out = jnp.concatenate(heads, axis=-1)
+
+    y = jax.lax.dot_general(
+        attn_out, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[...]
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def fused_ca_block(
+    x, xf, scale, shift, xf_scale, xf_shift,
+    wq, bq, wk, bk, wv, bv, wo, bo,
+    key_padding_mask=None,
+    *, n_heads: int, zero_attn: bool = True, eps: float = 1e-6,
+    interpret: bool = False,
+):
+    """``MHA(AdaLN(x), AdaLN(xf), AdaLN(xf))`` in one program per batch item
+    (NO residual — the caller's block adds it, blocks.py parity)."""
+    interpret = interpret or FORCE_INTERPRET
+    B, T, E = x.shape
+    D = E // n_heads
+    attn_scale = 1.0 / (D ** 0.5)
+    T_p = _round_up(max(T, 128), 128)
+
+    xp = jnp.pad(x, ((0, 0), (0, T_p - T), (0, 0)))
+    xfp = jnp.pad(xf, ((0, 0), (0, T_p - T), (0, 0)))
+
+    key_valid = jnp.arange(T_p) < T
+    kbias = jnp.where(key_valid[None, :], 0.0, NEG_INF).astype(jnp.float32)
+    kbias = jnp.broadcast_to(kbias, (B, T_p))
+    if key_padding_mask is not None:
+        kpm = jnp.pad(key_padding_mask, ((0, 0), (0, T_p - T)), constant_values=True)
+        kbias = jnp.where(kpm, NEG_INF, kbias)
+    kbias = kbias[:, None, :]
+
+    cd = x.dtype
+    w = lambda a: a.astype(cd)
+    row = lambda a: a.astype(jnp.float32).reshape(1, E)
+    vec = lambda a: a.astype(cd)[:, None]
+
+    batch_spec = pl.BlockSpec((1, T_p, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, 1, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    const2 = pl.BlockSpec((E, E), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    const1 = pl.BlockSpec((1, E), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _ca_block_kernel, n_heads=n_heads, attn_scale=attn_scale,
+            zero_attn=zero_attn, eps=eps,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T_p, E), x.dtype),
+        grid=(B,),
+        in_specs=[
+            batch_spec, batch_spec, vec_spec, vec_spec, vec_spec, vec_spec,
+            pl.BlockSpec((1, 1, T_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            const2, const1, const2, const1, const2, const1, const2, const1,
+        ],
+        out_specs=batch_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T_p * E * (4 * E + 2 * T_p),
+            bytes_accessed=3 * B * T_p * E * 2 + 4 * E * E * 2,
+            transcendentals=B * n_heads * T_p * T_p,
+        ),
+        interpret=interpret,
+    )(
+        xp, xfp, vec(scale), vec(shift), vec(xf_scale), vec(xf_shift), kbias,
+        w(wq), row(bq), w(wk), row(bk), w(wv), row(bv), w(wo), row(bo),
+    )
+    return out[:, :T]
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (|err| < 1.5e-7): Mosaic has no
+    erf primitive; this is far below bf16 resolution and passes the f32
+    parity tolerance too."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p0 = -1.453152027, 1.061405429, 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p0 * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _ffn_kernel(x_ref, scale_ref, shift_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                out_ref, *, eps: float, modulate: bool):
+    x = x_ref[0]
+    cd = x.dtype
+    if modulate:
+        xn = _ln(x.astype(jnp.float32), eps).astype(cd)
+        xn = xn * (1.0 + scale_ref[0, 0]) + shift_ref[0, 0]
+    else:
+        xn = x
+    h = jax.lax.dot_general(xn, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + b1_ref[...]
+    # Exact-GELU semantics (torch F.gelu default) via the rational erf.
+    h = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))
+    y = jax.lax.dot_general(h.astype(cd), w2_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + b2_ref[...]
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def fused_ffn_block(
+    x, scale, shift, w1, b1, w2, b2, *, eps: float = 1e-6, interpret: bool = False
+):
+    """``linear2(gelu(linear1(AdaLN(x))))`` in one program per batch item
+    (NO residual; reference layers.py:91-106; pass scale=shift=None to skip
+    the AdaLN, matching FFN(emb=None))."""
+    interpret = interpret or FORCE_INTERPRET
+    B, T, E = x.shape
+    F = w1.shape[1]
+    T_p = _round_up(max(T, 8), 8)
+    xp = jnp.pad(x, ((0, 0), (0, T_p - T), (0, 0)))
+    cd = x.dtype
+    modulate = scale is not None
+    if not modulate:
+        scale = jnp.zeros((B, E), cd)
+        shift = jnp.zeros((B, E), cd)
+
+    batch_spec = pl.BlockSpec((1, T_p, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, 1, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_ffn_kernel, eps=eps, modulate=modulate),
+        out_shape=jax.ShapeDtypeStruct((B, T_p, E), x.dtype),
+        grid=(B,),
+        in_specs=[
+            batch_spec, vec_spec, vec_spec,
+            pl.BlockSpec((E, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, E), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=batch_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T_p * E * F * 2,
+            bytes_accessed=2 * B * T_p * E * 2 + 2 * E * F * 2,
+            transcendentals=B * T_p * F,
+        ),
+        interpret=interpret,
+    )(
+        xp, scale.astype(cd)[:, None], shift.astype(cd)[:, None],
+        w1.astype(cd), b1.astype(jnp.float32).reshape(1, F),
+        w2.astype(cd), b2.astype(jnp.float32).reshape(1, E),
+    )
+    return out[:, :T]

@@ -124,3 +124,129 @@ class TestPallasPathEndToEnd:
         finally:
             L.set_pallas_attention(None)
             A.FORCE_INTERPRET = False
+
+
+class TestFusedBlocks:
+    """Fused AdaLN+MHA / FFN mega-kernels vs the unfused layer composition
+    (interpret mode on the CPU mesh)."""
+
+    def _weights(self, rng, E, F=None):
+        mk = lambda *s: jnp.asarray(rng.standard_normal(s) / np.sqrt(s[0]), jnp.float32)
+        vec = lambda n: jnp.asarray(0.1 * rng.standard_normal(n), jnp.float32)
+        if F is None:
+            return [mk(E, E) if i % 2 == 0 else vec(E) for i in range(8)]
+        return mk(E, F), vec(F), mk(F, E), vec(E)
+
+    def test_fused_sa_block(self):
+        from mixermdm_tpu.ops.attention import reference_attention
+        from mixermdm_tpu.ops.fused_block import fused_sa_block
+
+        rng = np.random.default_rng(0)
+        B, T, E, H = 3, 21, 256, 2
+        x = jnp.asarray(rng.standard_normal((B, T, E)) * 0.5, jnp.float32)
+        scale = jnp.asarray(0.1 * rng.standard_normal((B, E)), jnp.float32)
+        shift = jnp.asarray(0.1 * rng.standard_normal((B, E)), jnp.float32)
+        wq, bq, wk, bk, wv, bv, wo, bo = self._weights(rng, E)
+        kpm = np.zeros((B, T), bool)
+        kpm[1, -4:] = True
+        kpm = jnp.asarray(kpm)
+
+        out = fused_sa_block(x, scale, shift, wq, bq, wk, bk, wv, bv, wo, bo,
+                             kpm, n_heads=H, interpret=True)
+
+        from mixermdm_tpu.models.layers import layer_norm
+
+        xn = layer_norm(x, eps=1e-6) * (1.0 + scale[:, None]) + shift[:, None]
+        q, k, v = xn @ wq + bq, xn @ wk + bk, xn @ wv + bv
+        D = E // H
+        to_h = lambda a: a.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+        ref = reference_attention(to_h(q), to_h(k), to_h(v),
+                                  key_padding_mask=kpm, zero_attn=True)
+        ref = ref.transpose(0, 2, 1, 3).reshape(B, T, E) @ wo + bo
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_fused_ca_block(self):
+        from mixermdm_tpu.ops.attention import reference_attention
+        from mixermdm_tpu.ops.fused_block import fused_ca_block
+
+        rng = np.random.default_rng(1)
+        B, T, E, H = 2, 17, 256, 2
+        x = jnp.asarray(rng.standard_normal((B, T, E)) * 0.5, jnp.float32)
+        xf = jnp.asarray(rng.standard_normal((B, T, E)) * 0.5, jnp.float32)
+        mods = [jnp.asarray(0.1 * rng.standard_normal((B, E)), jnp.float32)
+                for _ in range(4)]
+        wq, bq, wk, bk, wv, bv, wo, bo = self._weights(rng, E)
+
+        out = fused_ca_block(x, xf, *mods, wq, bq, wk, bk, wv, bv, wo, bo,
+                             None, n_heads=H, interpret=True)
+
+        from mixermdm_tpu.models.layers import layer_norm
+
+        xn = layer_norm(x, eps=1e-6) * (1.0 + mods[0][:, None]) + mods[1][:, None]
+        xfn = layer_norm(xf, eps=1e-6) * (1.0 + mods[2][:, None]) + mods[3][:, None]
+        q, k, v = xn @ wq + bq, xfn @ wk + bk, xfn @ wv + bv
+        D = E // H
+        to_h = lambda a: a.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+        ref = reference_attention(to_h(q), to_h(k), to_h(v), zero_attn=True)
+        ref = ref.transpose(0, 2, 1, 3).reshape(B, T, E) @ wo + bo
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    @pytest.mark.parametrize("with_adaln", [True, False])
+    def test_fused_ffn_block(self, with_adaln):
+        import jax.nn as jnn
+
+        from mixermdm_tpu.ops.fused_block import fused_ffn_block
+
+        rng = np.random.default_rng(2)
+        B, T, E, F = 2, 13, 256, 512
+        x = jnp.asarray(rng.standard_normal((B, T, E)) * 0.5, jnp.float32)
+        w1, b1, w2, b2 = self._weights(rng, E, F)
+        if with_adaln:
+            scale = jnp.asarray(0.1 * rng.standard_normal((B, E)), jnp.float32)
+            shift = jnp.asarray(0.1 * rng.standard_normal((B, E)), jnp.float32)
+        else:
+            scale = shift = None
+
+        out = fused_ffn_block(x, scale, shift, w1, b1, w2, b2, interpret=True)
+
+        from mixermdm_tpu.models.layers import layer_norm
+
+        xn = x
+        if with_adaln:
+            xn = layer_norm(x, eps=1e-6) * (1.0 + scale[:, None]) + shift[:, None]
+        ref = jnn.gelu(xn @ w1 + b1, approximate=False) @ w2 + b2
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_layer_fused_path_matches_unfused_bf16(self):
+        """The wired-in fused path (bf16) vs the XLA path on the same params."""
+        from mixermdm_tpu.models import layers as L
+
+        rng = jax.random.PRNGKey(3)
+        B, T, E, H = 2, 11, 256, 2
+        x = jax.random.normal(rng, (B, T, E)) * 0.5
+        emb = jax.random.normal(jax.random.fold_in(rng, 1), (B, E))
+        sa = L.VanillaSelfAttention(E, H)
+        params = sa.init(jax.random.PRNGKey(4), x, emb)["params"]
+
+        import mixermdm_tpu.ops.fused_block as FB
+        import mixermdm_tpu.ops.attention as A
+
+        old_fb, old_a = FB.FORCE_INTERPRET, A.FORCE_INTERPRET
+        FB.FORCE_INTERPRET = A.FORCE_INTERPRET = True
+        try:
+            L.set_pallas_attention(True)
+            fused = sa.apply({"params": params}, x.astype(jnp.bfloat16),
+                             emb.astype(jnp.bfloat16))
+            L.set_pallas_attention(False)
+            unfused = sa.apply({"params": params}, x.astype(jnp.bfloat16),
+                               emb.astype(jnp.bfloat16))
+        finally:
+            FB.FORCE_INTERPRET, A.FORCE_INTERPRET = old_fb, old_a
+            L.set_pallas_attention(None)
+        np.testing.assert_allclose(
+            np.asarray(fused, np.float32), np.asarray(unfused, np.float32),
+            atol=3e-2, rtol=3e-2,
+        )
