@@ -231,7 +231,8 @@ def _fusable_block(x, latent_dim: int, num_heads: int, train: bool) -> bool:
         and not train
         and x.dtype == jnp.bfloat16
         and latent_dim % 128 == 0
-        and (latent_dim // num_heads) % 128 == 0
+        # 64-lane head slices compile via a Mosaic relayout; measured fine.
+        and (latent_dim // num_heads) % 64 == 0
     )
 
 

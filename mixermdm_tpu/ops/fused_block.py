@@ -42,17 +42,20 @@ def _sa_block_kernel(
     out_ref,
     *, n_heads: int, attn_scale: float, zero_attn: bool, eps: float,
 ):
-    T, E = x_ref.shape[1], x_ref.shape[2]
+    E = x_ref.shape[2]
+    Tq = out_ref.shape[1]     # 8-multiple; keys keep the 128-padded length
     D = E // n_heads
-    x = x_ref[0]                                     # (T_pad, E) input dtype
+    x = x_ref[0]                                     # (Tk_pad, E) input dtype
     cd = x.dtype
 
     # AdaLN: affine-free LN (f32 stats) then the conditioning modulation.
     xn = _ln(x.astype(jnp.float32), eps).astype(cd)
-    xn = xn * (1.0 + scale_ref[0, 0]) + shift_ref[0, 0]   # (T_pad, E)
+    xn = xn * (1.0 + scale_ref[0, 0]) + shift_ref[0, 0]   # (Tk_pad, E)
 
-    # QKV projections — MXU, f32 accumulate.
-    q = jax.lax.dot_general(xn, wq_ref[...], (((1,), (0,)), ((), ())),
+    # QKV projections — MXU, f32 accumulate.  Queries only need the real
+    # (8-multiple) rows; only keys/values must span the 128-padded length
+    # (the logits' lane dimension).
+    q = jax.lax.dot_general(xn[:Tq], wq_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) + bq_ref[...]
     k = jax.lax.dot_general(xn, wk_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) + bk_ref[...]
@@ -114,14 +117,15 @@ def fused_sa_block(
     D = E // n_heads
     attn_scale = 1.0 / (D ** 0.5)
 
-    T_p = _round_up(max(T, 128), 128)   # T is both Tq and Tk here
-    xp = jnp.pad(x, ((0, 0), (0, T_p - T), (0, 0)))
+    Tq_p = _round_up(max(T, 8), 8)       # query/output rows: sublane multiple
+    Tk_p = _round_up(max(T, 128), 128)   # key/value rows: lane multiple
+    xp = jnp.pad(x, ((0, 0), (0, Tk_p - T), (0, 0)))
 
-    key_valid = jnp.arange(T_p) < T
+    key_valid = jnp.arange(Tk_p) < T
     kbias = jnp.where(key_valid[None, :], 0.0, NEG_INF).astype(jnp.float32)
-    kbias = jnp.broadcast_to(kbias, (B, T_p))
+    kbias = jnp.broadcast_to(kbias, (B, Tk_p))
     if key_padding_mask is not None:
-        kpm = jnp.pad(key_padding_mask, ((0, 0), (0, T_p - T)), constant_values=True)
+        kpm = jnp.pad(key_padding_mask, ((0, 0), (0, Tk_p - T)), constant_values=True)
         kbias = jnp.where(kpm, NEG_INF, kbias)
     kbias = kbias[:, None, :]
 
@@ -129,7 +133,7 @@ def fused_sa_block(
     w = lambda a: a.astype(cd)
     row = lambda a: a.astype(jnp.float32).reshape(1, E)
 
-    batch_spec = pl.BlockSpec((1, T_p, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    batch_spec = pl.BlockSpec((1, Tk_p, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     # (B, 1, E) with block (1, 1, E): last-two dims match the array, which
     # the TPU lowering requires for non-multiple block sizes.
     vec_spec = pl.BlockSpec((1, 1, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -141,18 +145,18 @@ def fused_sa_block(
             _sa_block_kernel, n_heads=n_heads, attn_scale=attn_scale,
             zero_attn=zero_attn, eps=eps,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, T_p, E), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Tq_p, E), x.dtype),
         grid=(B,),
         in_specs=[
             batch_spec, vec_spec, vec_spec,
-            pl.BlockSpec((1, 1, T_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Tk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             const2, const1, const2, const1, const2, const1, const2, const1,
         ],
-        out_specs=batch_spec,
+        out_specs=pl.BlockSpec((1, Tq_p, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * T_p * E * (4 * E + 2 * T_p),
-            bytes_accessed=2 * B * T_p * E * 2 + 4 * E * E * 2,
-            transcendentals=B * n_heads * T_p * T_p,
+            flops=2 * B * Tk_p * E * (4 * E + 2 * Tq_p),
+            bytes_accessed=2 * B * Tk_p * E * 2 + 4 * E * E * 2,
+            transcendentals=B * n_heads * Tq_p * Tk_p,
         ),
         interpret=interpret,
     )(
@@ -168,7 +172,10 @@ def _ca_block_kernel(
     out_ref,
     *, n_heads: int, attn_scale: float, zero_attn: bool, eps: float,
 ):
-    """x-attends-xf cross attention with per-stream AdaLN (layers.py:68-88)."""
+    """x-attends-xf cross attention with per-stream AdaLN (layers.py:68-88).
+
+    ``x`` rides at the 8-multiple query length; only ``xf`` (keys/values)
+    carries the 128-multiple padding."""
     E = x_ref.shape[2]
     D = E // n_heads
     x = x_ref[0]
@@ -231,16 +238,17 @@ def fused_ca_block(
     B, T, E = x.shape
     D = E // n_heads
     attn_scale = 1.0 / (D ** 0.5)
-    T_p = _round_up(max(T, 128), 128)
+    Tq_p = _round_up(max(T, 8), 8)
+    Tk_p = _round_up(max(T, 128), 128)
 
-    xp = jnp.pad(x, ((0, 0), (0, T_p - T), (0, 0)))
-    xfp = jnp.pad(xf, ((0, 0), (0, T_p - T), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), (0, Tq_p - T), (0, 0)))
+    xfp = jnp.pad(xf, ((0, 0), (0, Tk_p - T), (0, 0)))
 
-    key_valid = jnp.arange(T_p) < T
+    key_valid = jnp.arange(Tk_p) < T
     kbias = jnp.where(key_valid[None, :], 0.0, NEG_INF).astype(jnp.float32)
-    kbias = jnp.broadcast_to(kbias, (B, T_p))
+    kbias = jnp.broadcast_to(kbias, (B, Tk_p))
     if key_padding_mask is not None:
-        kpm = jnp.pad(key_padding_mask, ((0, 0), (0, T_p - T)), constant_values=True)
+        kpm = jnp.pad(key_padding_mask, ((0, 0), (0, Tk_p - T)), constant_values=True)
         kbias = jnp.where(kpm, NEG_INF, kbias)
     kbias = kbias[:, None, :]
 
@@ -249,7 +257,8 @@ def fused_ca_block(
     row = lambda a: a.astype(jnp.float32).reshape(1, E)
     vec = lambda a: a.astype(cd)[:, None]
 
-    batch_spec = pl.BlockSpec((1, T_p, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((1, Tq_p, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, Tk_p, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((1, 1, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     const2 = pl.BlockSpec((E, E), lambda i: (0, 0), memory_space=pltpu.VMEM)
     const1 = pl.BlockSpec((1, E), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -259,18 +268,18 @@ def fused_ca_block(
             _ca_block_kernel, n_heads=n_heads, attn_scale=attn_scale,
             zero_attn=zero_attn, eps=eps,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, T_p, E), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Tq_p, E), x.dtype),
         grid=(B,),
         in_specs=[
-            batch_spec, batch_spec, vec_spec, vec_spec, vec_spec, vec_spec,
-            pl.BlockSpec((1, 1, T_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            q_spec, kv_spec, vec_spec, vec_spec, vec_spec, vec_spec,
+            pl.BlockSpec((1, 1, Tk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             const2, const1, const2, const1, const2, const1, const2, const1,
         ],
-        out_specs=batch_spec,
+        out_specs=q_spec,
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * T_p * E * (4 * E + 2 * T_p),
-            bytes_accessed=3 * B * T_p * E * 2 + 4 * E * E * 2,
-            transcendentals=B * n_heads * T_p * T_p,
+            flops=2 * B * Tk_p * E * (4 * E + 2 * Tq_p),
+            bytes_accessed=3 * B * Tk_p * E * 2 + 4 * E * E * 2,
+            transcendentals=B * n_heads * Tq_p * Tk_p,
         ),
         interpret=interpret,
     )(

@@ -395,6 +395,16 @@ class MixerMDMSystem:
                      collect_influence, use_fiv):
         B = cond.shape[0]
         mp = self.mixer_params(params)
+        if self.compute_dtype is not None:
+            # Pre-cast the frozen trees once: every layer computes
+            # ``x @ kernel.astype(x.dtype)`` anyway (same math), but with f32
+            # params the cast re-reads ~1 GB of f32 weights from HBM per
+            # DDIM step inside the scan.
+            mp = jax.tree_util.tree_map(
+                lambda a: a.astype(self.compute_dtype)
+                if a.dtype == jnp.float32 else a,
+                mp,
+            )
         fiv = fiv_val if use_fiv else None
 
         if collect_influence:
