@@ -39,6 +39,17 @@ def set_pallas_attention(enabled: Optional[bool]) -> None:
     _PALLAS_ATTENTION = enabled
 
 
+# Fused sub-block kernels (ops/fused_block.py) have no VJP — trainers keep
+# pallas ATTENTION on (it has a hand-written backward kernel) but disable
+# the block fusion at trace time.
+_FUSED_BLOCKS: bool = True
+
+
+def set_fused_blocks(enabled: bool) -> None:
+    global _FUSED_BLOCKS
+    _FUSED_BLOCKS = enabled
+
+
 def use_pallas_attention() -> bool:
     if _PALLAS_ATTENTION is not None:
         return _PALLAS_ATTENTION
@@ -228,6 +239,7 @@ def _fusable_block(x, latent_dim: int, num_heads: int, train: bool) -> bool:
     needs 128-multiples), inference only."""
     return (
         use_pallas_attention()
+        and _FUSED_BLOCKS
         and not train
         and x.dtype == jnp.bfloat16
         and latent_dim % 128 == 0
@@ -334,7 +346,8 @@ class FFN(nn.Module):
     @nn.compact
     def __call__(self, x, emb=None, train: bool = False):
         if (
-            use_pallas_attention() and not train and x.dtype == jnp.bfloat16
+            use_pallas_attention() and _FUSED_BLOCKS and not train
+            and x.dtype == jnp.bfloat16
             and self.latent_dim % 128 == 0 and self.ffn_dim % 128 == 0
         ):
             from ..ops.fused_block import fused_ffn_block

@@ -132,6 +132,8 @@ def _fa_nomask_fwd(q, k, v, zero_attn, interpret):
 
 def _fa_nomask_bwd(zero_attn, interpret, res, g):
     q, k, v = res
+    if USE_PALLAS_BWD:
+        return _fused_attention_bwd_impl(q, k, v, None, None, g, zero_attn, interpret)
     _, vjp = jax.vjp(lambda a, b, c: reference_attention(a, b, c, zero_attn=zero_attn), q, k, v)
     return vjp(g)
 
@@ -150,6 +152,8 @@ def _fa_kpm_fwd(q, k, v, kpm, zero_attn, interpret):
 
 def _fa_kpm_bwd(zero_attn, interpret, res, g):
     q, k, v, kpm = res
+    if USE_PALLAS_BWD:
+        return _fused_attention_bwd_impl(q, k, v, kpm, None, g, zero_attn, interpret) + (None,)
     _, vjp = jax.vjp(
         lambda a, b, c: reference_attention(a, b, c, key_padding_mask=kpm, zero_attn=zero_attn),
         q, k, v,
@@ -301,3 +305,115 @@ def reference_attention(q, k, v, key_padding_mask=None, attn_mask=None, zero_att
     else:
         p = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+# ---------------------------------------------------------------------------
+# Hand-written Pallas backward kernel (training path)
+# ---------------------------------------------------------------------------
+#
+# The custom_vjp backward above recomputes attention through XLA, which
+# materialises (B,H,Tq,Tk) logits/probability tensors in HBM — on top of the
+# layer-level remat recompute that round 1 measured at -15%.  This kernel
+# recomputes the softmax flash-style in VMEM and emits dq/dk/dv directly.
+# f32 throughout (gradients must match the XLA path to ~1e-3).
+
+USE_PALLAS_BWD = True   # module switch; tests flip it to compare paths
+
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, kbias_ref, g_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale, zero_attn):
+    q = q_ref[0, 0].astype(jnp.float32)          # (Tq_p, D_p)
+    k = k_ref[0, 0].astype(jnp.float32)          # (Tk_p, D_p)
+    v = v_ref[0, 0].astype(jnp.float32)
+    g = g_ref[0, 0].astype(jnp.float32)
+    kbias = kbias_ref[0]                          # (1, Tk_p)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale + kbias
+    row_max = jnp.max(logits, axis=-1, keepdims=True)
+    if zero_attn:
+        row_max = jnp.maximum(row_max, 0.0)
+    p = jnp.exp(logits - row_max)
+    denom = p.sum(axis=-1, keepdims=True)
+    if zero_attn:
+        denom = denom + jnp.exp(-row_max)
+    p = p / denom                                 # (Tq_p, Tk_p) f32
+
+    # dv = p^T g ; dp = g v^T ; ds = p * (dp - rowsum(dp*p)) ; the implicit
+    # zero-attn column has v=0 so dp_0=0 and drops out of the rowsum.
+    dv = jax.lax.dot_general(p, g, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dsum = (dp * p).sum(axis=-1, keepdims=True)
+    ds = p * (dp - dsum)
+    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _fused_attention_bwd_impl(q, k, v, key_padding_mask, attn_mask, g,
+                              zero_attn: bool, interpret: bool):
+    """(dq, dk, dv) via one Pallas program per (batch, head)."""
+    if attn_mask is not None:
+        # The causal-CLIP path trains rarely; keep the XLA fallback there.
+        raise NotImplementedError
+    B, H, Tq, D = q.shape
+    Tk = k.shape[2]
+    scale = 1.0 / (D ** 0.5)
+    Tq_p = _round_up(max(Tq, 8), 8)
+    Tk_p = _round_up(max(Tk, 128), 128)
+    D_p = _round_up(max(D, 128), 128)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, Tq_p - Tq), (0, D_p - D)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Tk_p - Tk), (0, D_p - D)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Tk_p - Tk), (0, D_p - D)))
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, Tq_p - Tq), (0, D_p - D)))
+
+    key_valid = jnp.arange(Tk_p) < Tk
+    kbias = jnp.where(key_valid[None, :], 0.0, NEG_INF).astype(jnp.float32)
+    kbias = jnp.broadcast_to(kbias, (B, Tk_p))
+    if key_padding_mask is not None:
+        kpm = jnp.pad(key_padding_mask, ((0, 0), (0, Tk_p - Tk)), constant_values=True)
+        kbias = jnp.where(kpm, NEG_INF, kbias)
+    kbias = kbias[:, None, :]
+
+    q_spec = pl.BlockSpec((1, 1, Tq_p, D_p), lambda i, j: (i, j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, 1, Tk_p, D_p), lambda i, j: (i, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, zero_attn=zero_attn),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Tq_p, D_p), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Tk_p, D_p), k.dtype),
+            jax.ShapeDtypeStruct((B, H, Tk_p, D_p), v.dtype),
+        ),
+        grid=(B, H),
+        in_specs=[
+            q_spec, kv_spec, kv_spec,
+            pl.BlockSpec((1, 1, Tk_p), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            q_spec,
+        ],
+        out_specs=(q_spec, kv_spec, kv_spec),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * B * H * Tq_p * Tk_p * D_p,
+            bytes_accessed=4 * B * H * (2 * Tq_p + 3 * Tk_p) * D_p,
+            transcendentals=B * H * Tq_p * Tk_p,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, kbias, gp)
+
+    return (
+        dq[:, :, :Tq, :D],
+        dk[:, :, :Tk, :D],
+        dv[:, :, :Tk, :D],
+    )

@@ -107,17 +107,17 @@ class MixerTrainer:
             return losses["total"], losses
 
         train_params = _subset(state.params, keys)
-        # Trace-time: XLA attention for training — the Pallas kernel's
-        # custom_vjp recompute stacks on top of layer remat and loses ~15%
-        # (measured 584 vs 687 ms/step at full size).
         from ..models import layers as _L
 
-        _old = _L._PALLAS_ATTENTION
-        _L.set_pallas_attention(False)
+        # Trace-time: keep Pallas ATTENTION (it has a hand-written backward
+        # kernel, ops/attention._fused_attention_bwd_impl) but disable the
+        # VJP-less fused sub-block kernels for the differentiated graph.
+        _old = _L._FUSED_BLOCKS
+        _L.set_fused_blocks(False)
         try:
             (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
         finally:
-            _L.set_pallas_attention(_old)
+            _L.set_fused_blocks(_old)
         updates, new_opt_state = opt.update(grads, opt_state, train_params)
         new_params = _merge(state.params, optax.apply_updates(train_params, updates))
 
@@ -244,12 +244,15 @@ class BaseTrainer:
         train_params = _subset(state.params, keys)
         from ..models import layers as _L
 
-        _old = _L._PALLAS_ATTENTION
-        _L.set_pallas_attention(False)
+        # Trace-time: keep Pallas ATTENTION (it has a hand-written backward
+        # kernel, ops/attention._fused_attention_bwd_impl) but disable the
+        # VJP-less fused sub-block kernels for the differentiated graph.
+        _old = _L._FUSED_BLOCKS
+        _L.set_fused_blocks(False)
         try:
             (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
         finally:
-            _L.set_pallas_attention(_old)
+            _L.set_fused_blocks(_old)
         updates, new_opt = self.opt.update(grads, state.opt_state, train_params)
         new_params = _merge(state.params, optax.apply_updates(train_params, updates))
         new_sampler_state = self._sampler_update(

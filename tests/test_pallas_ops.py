@@ -250,3 +250,89 @@ class TestFusedBlocks:
             np.asarray(fused, np.float32), np.asarray(unfused, np.float32),
             atol=3e-2, rtol=3e-2,
         )
+
+
+class TestPallasBackward:
+    """Hand-written attention backward kernel vs the XLA VJP (<=1e-3)."""
+
+    @pytest.mark.parametrize("with_mask", [False, True])
+    def test_grads_match_xla(self, with_mask):
+        import mixermdm_tpu.ops.attention as A
+
+        rng = np.random.default_rng(0)
+        B, H, T, D = 2, 2, 19, 32
+        q = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+        kpm = None
+        if with_mask:
+            m = np.zeros((B, T), bool)
+            m[0, -3:] = True
+            kpm = jnp.asarray(m)
+
+        def loss(q, k, v):
+            out = A.fused_attention(q, k, v, key_padding_mask=kpm,
+                                    zero_attn=True, interpret=True)
+            return (out * out).sum()
+
+        old = A.USE_PALLAS_BWD
+        try:
+            A.USE_PALLAS_BWD = True
+            g_pallas = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+            A.USE_PALLAS_BWD = False
+            g_xla = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            A.USE_PALLAS_BWD = old
+
+        for name, a, b in zip("qkv", g_pallas, g_xla):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3,
+                err_msg=f"d{name}",
+            )
+
+
+class TestFusedPathSystemLevel:
+    """Full In2IN denoiser forward: fused-block path (bf16, interpret) vs
+    the XLA path on the same params — guards the layer wiring end-to-end."""
+
+    def test_denoiser_fused_vs_xla(self):
+        import mixermdm_tpu.ops.attention as A
+        import mixermdm_tpu.ops.fused_block as FB
+        from mixermdm_tpu.models import layers as L
+        from mixermdm_tpu.models.in2in import In2INDenoiser
+
+        den = In2INDenoiser(input_feats=262, mode="interaction", latent_dim=128,
+                            ff_size=256, num_layers=2, num_heads=1, dropout=0.0)
+        rng = jax.random.PRNGKey(0)
+        B, T = 2, 17
+        x = jax.random.normal(rng, (B, T, 524)) * 0.5
+        cond = jax.random.normal(jax.random.fold_in(rng, 1), (B, 3 * 768)) * 0.2
+        t = jnp.asarray([3, 7])
+        mask = jnp.ones((B, T, 1)).at[1, -4:].set(0.0)
+        params = den.init(jax.random.PRNGKey(1), x, t, mask, cond)["params"]
+        # Perturb zero-init outputs so activations are nonzero.
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.05 * jax.random.normal(jax.random.PRNGKey(2), a.shape),
+            params,
+        )
+
+        xb, cb = x.astype(jnp.bfloat16), cond.astype(jnp.bfloat16)
+        old_fb, old_a = FB.FORCE_INTERPRET, A.FORCE_INTERPRET
+        FB.FORCE_INTERPRET = A.FORCE_INTERPRET = True
+        try:
+            L.set_pallas_attention(True)
+            L.set_fused_blocks(True)
+            fused = den.apply({"params": params}, xb, t, mask, cb)
+            L.set_fused_blocks(False)
+            L.set_pallas_attention(False)
+            unfused = den.apply({"params": params}, xb, t, mask, cb)
+        finally:
+            FB.FORCE_INTERPRET, A.FORCE_INTERPRET = old_fb, old_a
+            L.set_pallas_attention(None)
+            L.set_fused_blocks(True)
+        f = np.asarray(fused, np.float32)
+        u = np.asarray(unfused, np.float32)
+        # bf16 paths with different accumulation orders: tolerance scales
+        # with activation magnitude over 2 layers.
+        scale = max(np.abs(u).max(), 1.0)
+        np.testing.assert_allclose(f / scale, u / scale, atol=5e-2)
