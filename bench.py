@@ -28,7 +28,7 @@ T = 299         # window (infer CLI default)
 DDIM_STEPS = 50
 
 
-def build_system(tiny: bool = False):
+def build_system(tiny: bool = False, quant: bool = False):
     from mixermdm_tpu.config import MIXERMDM_DEFAULT, IN2IN_INDIVIDUAL_DEFAULT, IN2IN_INTERACTION_DEFAULT, tiny_config
     from mixermdm_tpu.models.clip_text import ClipTextConfig
     from mixermdm_tpu.systems import In2INSystem, MixerMDMSystem
@@ -50,10 +50,15 @@ def build_system(tiny: bool = False):
     clip_cfg = ClipTextConfig.vit_l_14()
     m1 = In2INSystem(IN2IN_INDIVIDUAL_DEFAULT, mode="individual", clip_cfg=clip_cfg)
     m2 = In2INSystem(IN2IN_INTERACTION_DEFAULT, mode="interaction", clip_cfg=clip_cfg)
-    return MixerMDMSystem(MIXERMDM_DEFAULT, model1=m1, model2=m2, clip_cfg=clip_cfg)
+    mcfg = MIXERMDM_DEFAULT
+    if quant:
+        from mixermdm_tpu.config import Config
+        mcfg = Config.wrap(dict(mcfg))
+        mcfg["QUANT_FROZEN"] = True
+    return MixerMDMSystem(mcfg, model1=m1, model2=m2, clip_cfg=clip_cfg)
 
 
-def main(tiny: bool = False, repeats: int = 3):
+def main(tiny: bool = False, repeats: int = 3, quant: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -61,7 +66,7 @@ def main(tiny: bool = False, repeats: int = 3):
 
     enable_compilation_cache()
 
-    system = build_system(tiny)
+    system = build_system(tiny, quant=quant)
     params = system.init_params(jax.random.PRNGKey(0))
 
     b = 2 if tiny else B
@@ -97,4 +102,4 @@ def main(tiny: bool = False, repeats: int = 3):
 if __name__ == "__main__":
     import sys
 
-    main(tiny="--tiny" in sys.argv)
+    main(tiny="--tiny" in sys.argv, quant="--quant" in sys.argv)

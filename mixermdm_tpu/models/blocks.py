@@ -10,6 +10,10 @@ All blocks are residual: SA -> (CA) -> FFN with AdaLN conditioning.  The
 embedding and cross-attention on the *interaction* embedding; individual
 modes skip cross-attention entirely (blocks.py:54-58) — here that choice is a
 static Python flag, so each mode jit-compiles its own specialised program.
+
+The residual adds ride ``residual=True`` *inside* the sub-layers: same math
+as the reference's ``x + block(x)``, but on the Pallas fused path the add
+happens in-VMEM, saving one HBM pass over (B, T, E) per sub-layer.
 """
 
 from __future__ import annotations
@@ -30,14 +34,15 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, y, emb=None, key_padding_mask=None, train: bool = False):
         h1 = VanillaSelfAttention(self.latent_dim, self.num_heads, self.dropout,
-                                  name="sa_block")(x, emb, key_padding_mask, train) + x
+                                  name="sa_block")(x, emb, key_padding_mask, train,
+                                                   residual=True)
         h2 = VanillaCrossAttention(
             self.latent_dim, self.latent_dim, self.num_heads, self.dropout,
             name="ca_block",
-        )(h1, y, emb, key_padding_mask, train) + h1
+        )(h1, y, emb, key_padding_mask, train, residual=True)
         return FFN(self.latent_dim, self.ff_size, self.dropout, name="ffn")(
-            h2, emb, train
-        ) + h2
+            h2, emb, train, residual=True
+        )
 
 
 class TransformerBlockDoubleCond(nn.Module):
@@ -53,17 +58,18 @@ class TransformerBlockDoubleCond(nn.Module):
     def __call__(self, x, y, emb=None, emb_interaction=None, key_padding_mask=None,
                  train: bool = False):
         h1 = VanillaSelfAttention(self.latent_dim, self.num_heads, self.dropout,
-                                  name="sa_block")(x, emb, key_padding_mask, train) + x
+                                  name="sa_block")(x, emb, key_padding_mask, train,
+                                                   residual=True)
         if self.mode in ("individual", "dual_individual"):
             h2 = h1
         else:
             h2 = VanillaCrossAttention(
                 self.latent_dim, self.latent_dim, self.num_heads, self.dropout,
                 name="ca_block",
-            )(h1, y, emb_interaction, key_padding_mask, train) + h1
+            )(h1, y, emb_interaction, key_padding_mask, train, residual=True)
         return FFN(self.latent_dim, self.ff_size, self.dropout, name="ffn")(
-            h2, emb, train
-        ) + h2
+            h2, emb, train, residual=True
+        )
 
     @staticmethod
     def has_cross_attention(mode: str) -> bool:
@@ -81,10 +87,11 @@ class TransformerBlockSimple(nn.Module):
     @nn.compact
     def __call__(self, x, emb=None, key_padding_mask=None, train: bool = False):
         h1 = VanillaSelfAttention(self.latent_dim, self.num_heads, self.dropout,
-                                  name="sa_block")(x, emb, key_padding_mask, train) + x
+                                  name="sa_block")(x, emb, key_padding_mask, train,
+                                                   residual=True)
         return FFN(self.latent_dim, self.ff_size, self.dropout, name="ffn")(
-            h1, emb, train
-        ) + h1
+            h1, emb, train, residual=True
+        )
 
 
 class InfluenceBlockCross(nn.Module):
@@ -100,11 +107,12 @@ class InfluenceBlockCross(nn.Module):
     def __call__(self, m_i, m_I, emb_i=None, emb_I=None, key_padding_mask=None,
                  train: bool = False):
         h1 = VanillaSelfAttention(self.latent_dim, self.num_heads, self.dropout,
-                                  name="sa_block")(m_i, emb_i, key_padding_mask, train) + m_i
+                                  name="sa_block")(m_i, emb_i, key_padding_mask, train,
+                                                   residual=True)
         h2 = VanillaCrossAttention(
             self.latent_dim, self.latent_dim, self.num_heads, self.dropout,
             name="ca_block",
-        )(h1, m_I, emb_I, key_padding_mask, train) + h1
+        )(h1, m_I, emb_I, key_padding_mask, train, residual=True)
         return FFN(self.latent_dim, self.ff_size, self.dropout, name="ffn")(
-            h2, emb_I, train
-        ) + h2
+            h2, emb_I, train, residual=True
+        )

@@ -50,6 +50,28 @@ def set_fused_blocks(enabled: bool) -> None:
     _FUSED_BLOCKS = enabled
 
 
+# W8A8 trace-time scope: inside it, the fused sub-block kernels run their
+# projections on the MXU int8 path (2x bf16 rate on v5e) — per-channel
+# weight scales, dynamic per-token activation scales.  Systems wrap their
+# FROZEN denoiser calls in this scope (sampling only; the trainable mixer
+# and all training graphs stay bf16/f32).
+_W8A8: bool = False
+
+
+class w8a8_scope:
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+
+    def __enter__(self):
+        global _W8A8
+        self.prev = _W8A8
+        _W8A8 = self.enabled
+
+    def __exit__(self, *exc):
+        global _W8A8
+        _W8A8 = self.prev
+
+
 def use_pallas_attention() -> bool:
     if _PALLAS_ATTENTION is not None:
         return _PALLAS_ATTENTION
@@ -256,7 +278,8 @@ class VanillaSelfAttention(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, emb, key_padding_mask=None, train: bool = False):
+    def __call__(self, x, emb, key_padding_mask=None, train: bool = False,
+                 residual: bool = False):
         if _fusable_block(x, self.latent_dim, self.num_heads, train):
             from ..ops.fused_block import fused_sa_block
 
@@ -269,12 +292,14 @@ class VanillaSelfAttention(nn.Module):
             )(None, None, None, params_only=True)
             return fused_sa_block(
                 x, scale, shift, wq, bq, wk, bk, wv, bv, wo, bo,
-                key_padding_mask, n_heads=self.num_heads,
+                key_padding_mask, n_heads=self.num_heads, residual=residual,
+                quant=_W8A8,
             )
         x_norm = AdaLN(self.latent_dim, name="norm")(x, emb)
-        return TorchMultiheadAttention(
+        out = TorchMultiheadAttention(
             self.latent_dim, self.num_heads, dropout=self.dropout, name="attention"
         )(x_norm, x_norm, x_norm, key_padding_mask, train=train)
+        return out + x if residual else out
 
 
 class VanillaSelfAttentionSimple(nn.Module):
@@ -301,7 +326,8 @@ class VanillaCrossAttention(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, xf, emb, key_padding_mask=None, train: bool = False):
+    def __call__(self, x, xf, emb, key_padding_mask=None, train: bool = False,
+                 residual: bool = False):
         if (
             _fusable_block(x, self.latent_dim, self.num_heads, train)
             and self.xf_latent_dim == self.latent_dim
@@ -322,15 +348,17 @@ class VanillaCrossAttention(nn.Module):
             return fused_ca_block(
                 x, xf, scale, shift, xf_scale, xf_shift,
                 wq, bq, wk, bk, wv, bv, wo, bo,
-                key_padding_mask, n_heads=self.num_heads,
+                key_padding_mask, n_heads=self.num_heads, residual=residual,
+                quant=_W8A8,
             )
         x_norm = AdaLN(self.latent_dim, name="norm")(x, emb)
         xf_norm = AdaLN(self.xf_latent_dim, name="xf_norm")(xf, emb)
-        return TorchMultiheadAttention(
+        out = TorchMultiheadAttention(
             self.latent_dim, self.num_heads,
             kdim=self.xf_latent_dim, vdim=self.xf_latent_dim, dropout=self.dropout,
             name="attention",
         )(x_norm, xf_norm, xf_norm, key_padding_mask, train=train)
+        return out + x if residual else out
 
 
 class FFN(nn.Module):
@@ -344,7 +372,7 @@ class FFN(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, emb=None, train: bool = False):
+    def __call__(self, x, emb=None, train: bool = False, residual: bool = False):
         if (
             use_pallas_attention() and _FUSED_BLOCKS and not train
             and x.dtype == jnp.bfloat16
@@ -362,14 +390,17 @@ class FFN(nn.Module):
                                  in_features=self.latent_dim)(None)
             w2, b2 = ZeroLinear(self.latent_dim,
                                 in_features=self.ffn_dim, name="linear2")(None)
-            return fused_ffn_block(x, scale, shift, w1, b1, w2, b2)
+            return fused_ffn_block(x, scale, shift, w1, b1, w2, b2,
+                                   residual=residual, quant=_W8A8)
+        h_in = x
         if emb is not None:
-            x = AdaLN(self.latent_dim, name="norm")(x, emb)
-        h = TorchLinear(self.ffn_dim, name="linear1")(x)
+            h_in = AdaLN(self.latent_dim, name="norm")(x, emb)
+        h = TorchLinear(self.ffn_dim, name="linear1")(h_in)
         h = nn.gelu(h, approximate=False)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        return ZeroLinear(self.latent_dim, name="linear2")(h)
+        out = ZeroLinear(self.latent_dim, name="linear2")(h)
+        return out + x if residual else out
 
 
 class FinalLayer(nn.Module):

@@ -322,40 +322,49 @@ USE_PALLAS_BWD = True   # module switch; tests flip it to compare paths
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, kbias_ref, g_ref,
                      dq_ref, dk_ref, dv_ref, *, scale, zero_attn):
-    q = q_ref[0, 0].astype(jnp.float32)          # (Tq_p, D_p)
-    k = k_ref[0, 0].astype(jnp.float32)          # (Tk_p, D_p)
-    v = v_ref[0, 0].astype(jnp.float32)
-    g = g_ref[0, 0].astype(jnp.float32)
+    """Multi-head program: blocks carry HB heads — single-head programs were
+    measured grid-overhead-bound at training sizes (B*H > 500 programs of
+    <1 us MXU work each).  Matmuls run on the input dtype (bf16 on the
+    production path) with f32 accumulate; the softmax recompute and the
+    softmax-jacobian combine stay f32 (gradients match XLA to ~1e-3)."""
+    HB = q_ref.shape[1]
     kbias = kbias_ref[0]                          # (1, Tk_p)
+    for h in range(HB):
+        q = q_ref[0, h]                           # (Tq_p, D_p) input dtype
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        g = g_ref[0, h]
 
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale + kbias
-    row_max = jnp.max(logits, axis=-1, keepdims=True)
-    if zero_attn:
-        row_max = jnp.maximum(row_max, 0.0)
-    p = jnp.exp(logits - row_max)
-    denom = p.sum(axis=-1, keepdims=True)
-    if zero_attn:
-        denom = denom + jnp.exp(-row_max)
-    p = p / denom                                 # (Tq_p, Tk_p) f32
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale + kbias
+        row_max = jnp.max(logits, axis=-1, keepdims=True)
+        if zero_attn:
+            row_max = jnp.maximum(row_max, 0.0)
+        p = jnp.exp(logits - row_max)
+        denom = p.sum(axis=-1, keepdims=True)
+        if zero_attn:
+            denom = denom + jnp.exp(-row_max)
+        p = p / denom                             # (Tq_p, Tk_p) f32
 
-    # dv = p^T g ; dp = g v^T ; ds = p * (dp - rowsum(dp*p)) ; the implicit
-    # zero-attn column has v=0 so dp_0=0 and drops out of the rowsum.
-    dv = jax.lax.dot_general(p, g, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dsum = (dp * p).sum(axis=-1, keepdims=True)
-    ds = p * (dp - dsum)
-    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
+        # dv = p^T g ; dp = g v^T ; ds = p * (dp - rowsum(dp*p)) ; the
+        # implicit zero-attn column has v=0 so dp_0=0 and drops out of the
+        # rowsum.
+        pc = p.astype(q.dtype)
+        dv = jax.lax.dot_general(pc, g, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dsum = (dp * p).sum(axis=-1, keepdims=True)
+        ds = (p * (dp - dsum)).astype(q.dtype)
+        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
 
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+        dq_ref[0, h] = dq.astype(dq_ref.dtype)
+        dk_ref[0, h] = dk.astype(dk_ref.dtype)
+        dv_ref[0, h] = dv.astype(dv_ref.dtype)
 
 
 def _fused_attention_bwd_impl(q, k, v, key_padding_mask, attn_mask, g,
@@ -384,9 +393,20 @@ def _fused_attention_bwd_impl(q, k, v, key_padding_mask, attn_mask, g,
         kbias = jnp.where(kpm, NEG_INF, kbias)
     kbias = kbias[:, None, :]
 
-    q_spec = pl.BlockSpec((1, 1, Tq_p, D_p), lambda i, j: (i, j, 0, 0),
+    # Heads per program: VMEM working set is ~4 T x D blocks in/out per head
+    # plus two (Tq, Tk) f32 logit/grad panels.
+    def _vmem_bytes(hb: int) -> int:
+        return 4 * hb * (3 * Tq_p * D_p + 4 * Tk_p * D_p + 3 * Tq_p * Tk_p)
+
+    HB = 1
+    for cand in range(H, 0, -1):
+        if H % cand == 0 and _vmem_bytes(cand) <= 12 * 1024 * 1024:
+            HB = cand
+            break
+
+    q_spec = pl.BlockSpec((1, HB, Tq_p, D_p), lambda i, j: (i, j, 0, 0),
                           memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, 1, Tk_p, D_p), lambda i, j: (i, j, 0, 0),
+    kv_spec = pl.BlockSpec((1, HB, Tk_p, D_p), lambda i, j: (i, j, 0, 0),
                            memory_space=pltpu.VMEM)
 
     dq, dk, dv = pl.pallas_call(
@@ -396,7 +416,7 @@ def _fused_attention_bwd_impl(q, k, v, key_padding_mask, attn_mask, g,
             jax.ShapeDtypeStruct((B, H, Tk_p, D_p), k.dtype),
             jax.ShapeDtypeStruct((B, H, Tk_p, D_p), v.dtype),
         ),
-        grid=(B, H),
+        grid=(B, H // HB),
         in_specs=[
             q_spec, kv_spec, kv_spec,
             pl.BlockSpec((1, 1, Tk_p), lambda i, j: (i, 0, 0),

@@ -36,11 +36,36 @@ def _ln(x32, eps):
     return (x32 - mean) * jax.lax.rsqrt(var + eps)
 
 
+# --------------------------------------------------------------------------
+# W8A8 helpers: the frozen denoisers' projections can run on the MXU's int8
+# path (2x the bf16 rate on v5e) — weights are pre-quantised per output
+# channel by the wrapper, activations dynamically per row (token) in-kernel.
+# --------------------------------------------------------------------------
+
+def quantize_weight(w):
+    """Symmetric per-output-channel int8 quantisation: ``w8, col_scales``."""
+    s = jnp.maximum(jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0), 1e-8) / 127.0
+    w8 = jnp.clip(jnp.round(w.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return w8, s.reshape(1, -1)
+
+
+def _qdot(x, w8, wscale):
+    """Per-row dynamic activation quant -> int8 MXU matmul -> f32 dequant."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+    x8 = jnp.clip(jnp.round(xf / s), -127.0, 127.0).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x8, w8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return acc.astype(jnp.float32) * s * wscale
+
+
 def _sa_block_kernel(
     x_ref, scale_ref, shift_ref, kbias_ref,
     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
     out_ref,
     *, n_heads: int, attn_scale: float, zero_attn: bool, eps: float,
+    residual: bool, scales=None,
 ):
     E = x_ref.shape[2]
     Tq = out_ref.shape[1]     # 8-multiple; keys keep the 128-padded length
@@ -54,13 +79,20 @@ def _sa_block_kernel(
 
     # QKV projections — MXU, f32 accumulate.  Queries only need the real
     # (8-multiple) rows; only keys/values must span the 128-padded length
-    # (the logits' lane dimension).
-    q = jax.lax.dot_general(xn[:Tq], wq_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32) + bq_ref[...]
-    k = jax.lax.dot_general(xn, wk_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32) + bk_ref[...]
-    v = jax.lax.dot_general(xn, wv_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32) + bv_ref[...]
+    # (the logits' lane dimension).  With ``scales`` (W8A8) the weights are
+    # int8 and the matmuls ride the MXU's 2x int8 path.
+    if scales is not None:
+        wqs_ref, wks_ref, wvs_ref, wos_ref = scales
+        q = _qdot(xn[:Tq], wq_ref[...], wqs_ref[...]) + bq_ref[...]
+        k = _qdot(xn, wk_ref[...], wks_ref[...]) + bk_ref[...]
+        v = _qdot(xn, wv_ref[...], wvs_ref[...]) + bv_ref[...]
+    else:
+        q = jax.lax.dot_general(xn[:Tq], wq_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) + bq_ref[...]
+        k = jax.lax.dot_general(xn, wk_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) + bk_ref[...]
+        v = jax.lax.dot_general(xn, wv_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) + bv_ref[...]
     q = q.astype(cd)
     k = k.astype(cd)
     v = v.astype(cd)
@@ -90,11 +122,31 @@ def _sa_block_kernel(
         ))
     attn_out = jnp.concatenate(heads, axis=-1)
 
-    y = jax.lax.dot_general(
-        attn_out.astype(cd), wo_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bo_ref[...]
-    out_ref[0] = y.astype(out_ref.dtype)
+    if scales is not None:
+        y = _qdot(attn_out, wo_ref[...], wos_ref[...]) + bo_ref[...]
+    else:
+        y = jax.lax.dot_general(
+            attn_out.astype(cd), wo_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bo_ref[...]
+    y = y.astype(out_ref.dtype)
+    if residual:
+        # x is already resident in VMEM — the add here saves the caller a
+        # full HBM round trip over (B, T, E) for the residual connection.
+        y = y + x[:Tq]
+    out_ref[0] = y
+
+
+def _sa_block_kernel_q8(
+    x_ref, scale_ref, shift_ref, kbias_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    wqs_ref, wks_ref, wvs_ref, wos_ref, out_ref, **kw,
+):
+    _sa_block_kernel(
+        x_ref, scale_ref, shift_ref, kbias_ref,
+        wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+        out_ref, scales=(wqs_ref, wks_ref, wvs_ref, wos_ref), **kw,
+    )
 
 
 def fused_sa_block(
@@ -107,11 +159,14 @@ def fused_sa_block(
     n_heads: int,
     zero_attn: bool = True,
     eps: float = 1e-6,
+    residual: bool = False,
+    quant: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """``MHA(AdaLN(x) * (1+scale) + shift)`` as one Pallas program per batch
-    item (self-attention; torch add_zero_attn semantics).  NO residual — the
-    caller's transformer block adds it (blocks.py parity)."""
+    item (self-attention; torch add_zero_attn semantics).  With
+    ``residual=True`` the ``+ x`` of the caller's transformer block happens
+    in-kernel (blocks.py parity: same bf16 add, one fewer HBM pass)."""
     interpret = interpret or FORCE_INTERPRET
     B, T, E = x.shape
     D = E // n_heads
@@ -140,18 +195,36 @@ def fused_sa_block(
     const2 = pl.BlockSpec((E, E), lambda i: (0, 0), memory_space=pltpu.VMEM)
     const1 = pl.BlockSpec((1, E), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
+    in_specs = [
+        batch_spec, vec_spec, vec_spec,
+        pl.BlockSpec((1, 1, Tk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        const2, const1, const2, const1, const2, const1, const2, const1,
+    ]
+    if quant:
+        (wq8, wqs), (wk8, wks) = quantize_weight(wq), quantize_weight(wk)
+        (wv8, wvs), (wo8, wos) = quantize_weight(wv), quantize_weight(wo)
+        inputs = [
+            xp, scale.astype(cd)[:, None], shift.astype(cd)[:, None], kbias,
+            wq8, row(bq), wk8, row(bk), wv8, row(bv), wo8, row(bo),
+            wqs, wks, wvs, wos,
+        ]
+        in_specs = in_specs + [const1] * 4
+        kernel = _sa_block_kernel_q8
+    else:
+        inputs = [
+            xp, scale.astype(cd)[:, None], shift.astype(cd)[:, None], kbias,
+            w(wq), row(bq), w(wk), row(bk), w(wv), row(bv), w(wo), row(bo),
+        ]
+        kernel = _sa_block_kernel
+
     out = pl.pallas_call(
         functools.partial(
-            _sa_block_kernel, n_heads=n_heads, attn_scale=attn_scale,
-            zero_attn=zero_attn, eps=eps,
+            kernel, n_heads=n_heads, attn_scale=attn_scale,
+            zero_attn=zero_attn, eps=eps, residual=residual,
         ),
         out_shape=jax.ShapeDtypeStruct((B, Tq_p, E), x.dtype),
         grid=(B,),
-        in_specs=[
-            batch_spec, vec_spec, vec_spec,
-            pl.BlockSpec((1, 1, Tk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            const2, const1, const2, const1, const2, const1, const2, const1,
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Tq_p, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Tk_p * E * (4 * E + 2 * Tq_p),
@@ -159,10 +232,7 @@ def fused_sa_block(
             transcendentals=B * n_heads * Tq_p * Tk_p,
         ),
         interpret=interpret,
-    )(
-        xp, scale.astype(cd)[:, None], shift.astype(cd)[:, None], kbias,
-        w(wq), row(bq), w(wk), row(bk), w(wv), row(bv), w(wo), row(bo),
-    )
+    )(*inputs)
     return out[:, :T]
 
 
@@ -171,6 +241,7 @@ def _ca_block_kernel(
     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
     out_ref,
     *, n_heads: int, attn_scale: float, zero_attn: bool, eps: float,
+    residual: bool, scales=None,
 ):
     """x-attends-xf cross attention with per-stream AdaLN (layers.py:68-88).
 
@@ -187,12 +258,18 @@ def _ca_block_kernel(
     xfn = _ln(xf.astype(jnp.float32), eps).astype(cd)
     xfn = xfn * (1.0 + xf_scale_ref[0, 0]) + xf_shift_ref[0, 0]
 
-    q = (jax.lax.dot_general(xn, wq_ref[...], (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) + bq_ref[...]).astype(cd)
-    k = (jax.lax.dot_general(xfn, wk_ref[...], (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) + bk_ref[...]).astype(cd)
-    v = (jax.lax.dot_general(xfn, wv_ref[...], (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) + bv_ref[...]).astype(cd)
+    if scales is not None:
+        wqs_ref, wks_ref, wvs_ref, wos_ref = scales
+        q = (_qdot(xn, wq_ref[...], wqs_ref[...]) + bq_ref[...]).astype(cd)
+        k = (_qdot(xfn, wk_ref[...], wks_ref[...]) + bk_ref[...]).astype(cd)
+        v = (_qdot(xfn, wv_ref[...], wvs_ref[...]) + bv_ref[...]).astype(cd)
+    else:
+        q = (jax.lax.dot_general(xn, wq_ref[...], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) + bq_ref[...]).astype(cd)
+        k = (jax.lax.dot_general(xfn, wk_ref[...], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) + bk_ref[...]).astype(cd)
+        v = (jax.lax.dot_general(xfn, wv_ref[...], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) + bv_ref[...]).astype(cd)
 
     kbias = kbias_ref[0]
     soft_dtype = jnp.bfloat16 if cd == jnp.bfloat16 else jnp.float32
@@ -218,11 +295,30 @@ def _ca_block_kernel(
         ).astype(cd))
     attn_out = jnp.concatenate(heads, axis=-1)
 
-    y = jax.lax.dot_general(
-        attn_out, wo_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bo_ref[...]
-    out_ref[0] = y.astype(out_ref.dtype)
+    if scales is not None:
+        y = _qdot(attn_out, wo_ref[...], wos_ref[...]) + bo_ref[...]
+    else:
+        y = jax.lax.dot_general(
+            attn_out, wo_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bo_ref[...]
+    y = y.astype(out_ref.dtype)
+    if residual:
+        y = y + x          # queries ride at Tq_p — same rows as the output
+    out_ref[0] = y
+
+
+def _ca_block_kernel_q8(
+    x_ref, xf_ref, scale_ref, shift_ref, xf_scale_ref, xf_shift_ref, kbias_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    wqs_ref, wks_ref, wvs_ref, wos_ref, out_ref, **kw,
+):
+    _ca_block_kernel(
+        x_ref, xf_ref, scale_ref, shift_ref, xf_scale_ref, xf_shift_ref,
+        kbias_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+        wo_ref, bo_ref, out_ref,
+        scales=(wqs_ref, wks_ref, wvs_ref, wos_ref), **kw,
+    )
 
 
 def fused_ca_block(
@@ -230,10 +326,10 @@ def fused_ca_block(
     wq, bq, wk, bk, wv, bv, wo, bo,
     key_padding_mask=None,
     *, n_heads: int, zero_attn: bool = True, eps: float = 1e-6,
-    interpret: bool = False,
+    residual: bool = False, quant: bool = False, interpret: bool = False,
 ):
     """``MHA(AdaLN(x), AdaLN(xf), AdaLN(xf))`` in one program per batch item
-    (NO residual — the caller's block adds it, blocks.py parity)."""
+    (``residual=True`` adds the caller's ``+ x`` in-kernel)."""
     interpret = interpret or FORCE_INTERPRET
     B, T, E = x.shape
     D = E // n_heads
@@ -263,18 +359,36 @@ def fused_ca_block(
     const2 = pl.BlockSpec((E, E), lambda i: (0, 0), memory_space=pltpu.VMEM)
     const1 = pl.BlockSpec((1, E), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
+    in_specs = [
+        q_spec, kv_spec, vec_spec, vec_spec, vec_spec, vec_spec,
+        pl.BlockSpec((1, 1, Tk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        const2, const1, const2, const1, const2, const1, const2, const1,
+    ]
+    if quant:
+        (wq8, wqs), (wk8, wks) = quantize_weight(wq), quantize_weight(wk)
+        (wv8, wvs), (wo8, wos) = quantize_weight(wv), quantize_weight(wo)
+        inputs = [
+            xp, xfp, vec(scale), vec(shift), vec(xf_scale), vec(xf_shift), kbias,
+            wq8, row(bq), wk8, row(bk), wv8, row(bv), wo8, row(bo),
+            wqs, wks, wvs, wos,
+        ]
+        in_specs = in_specs + [const1] * 4
+        kernel = _ca_block_kernel_q8
+    else:
+        inputs = [
+            xp, xfp, vec(scale), vec(shift), vec(xf_scale), vec(xf_shift), kbias,
+            w(wq), row(bq), w(wk), row(bk), w(wv), row(bv), w(wo), row(bo),
+        ]
+        kernel = _ca_block_kernel
+
     out = pl.pallas_call(
         functools.partial(
-            _ca_block_kernel, n_heads=n_heads, attn_scale=attn_scale,
-            zero_attn=zero_attn, eps=eps,
+            kernel, n_heads=n_heads, attn_scale=attn_scale,
+            zero_attn=zero_attn, eps=eps, residual=residual,
         ),
         out_shape=jax.ShapeDtypeStruct((B, Tq_p, E), x.dtype),
         grid=(B,),
-        in_specs=[
-            q_spec, kv_spec, vec_spec, vec_spec, vec_spec, vec_spec,
-            pl.BlockSpec((1, 1, Tk_p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            const2, const1, const2, const1, const2, const1, const2, const1,
-        ],
+        in_specs=in_specs,
         out_specs=q_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Tk_p * E * (4 * E + 2 * Tq_p),
@@ -282,10 +396,7 @@ def fused_ca_block(
             transcendentals=B * n_heads * Tq_p * Tk_p,
         ),
         interpret=interpret,
-    )(
-        xp, xfp, vec(scale), vec(shift), vec(xf_scale), vec(xf_shift), kbias,
-        w(wq), row(bq), w(wk), row(bk), w(wv), row(bv), w(wo), row(bo),
-    )
+    )(*inputs)
     return out[:, :T]
 
 
@@ -303,7 +414,8 @@ def _erf(x):
 
 
 def _ffn_kernel(x_ref, scale_ref, shift_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                out_ref, *, eps: float, modulate: bool):
+                out_ref, *, eps: float, modulate: bool, residual: bool,
+                scales=None):
     x = x_ref[0]
     cd = x.dtype
     if modulate:
@@ -311,21 +423,38 @@ def _ffn_kernel(x_ref, scale_ref, shift_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         xn = xn * (1.0 + scale_ref[0, 0]) + shift_ref[0, 0]
     else:
         xn = x
-    h = jax.lax.dot_general(xn, w1_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32) + b1_ref[...]
+    if scales is not None:
+        w1s_ref, w2s_ref = scales
+        h = _qdot(xn, w1_ref[...], w1s_ref[...]) + b1_ref[...]
+    else:
+        h = jax.lax.dot_general(xn, w1_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) + b1_ref[...]
     # Exact-GELU semantics (torch F.gelu default) via the rational erf.
     h = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))
-    y = jax.lax.dot_general(h.astype(cd), w2_ref[...], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32) + b2_ref[...]
-    out_ref[0] = y.astype(out_ref.dtype)
+    if scales is not None:
+        y = _qdot(h, w2_ref[...], w2s_ref[...]) + b2_ref[...]
+    else:
+        y = jax.lax.dot_general(h.astype(cd), w2_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) + b2_ref[...]
+    y = y.astype(out_ref.dtype)
+    if residual:
+        y = y + x
+    out_ref[0] = y
+
+
+def _ffn_kernel_q8(x_ref, scale_ref, shift_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   w1s_ref, w2s_ref, out_ref, **kw):
+    _ffn_kernel(x_ref, scale_ref, shift_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                out_ref, scales=(w1s_ref, w2s_ref), **kw)
 
 
 def fused_ffn_block(
-    x, scale, shift, w1, b1, w2, b2, *, eps: float = 1e-6, interpret: bool = False
+    x, scale, shift, w1, b1, w2, b2, *, eps: float = 1e-6,
+    residual: bool = False, quant: bool = False, interpret: bool = False
 ):
     """``linear2(gelu(linear1(AdaLN(x))))`` in one program per batch item
-    (NO residual; reference layers.py:91-106; pass scale=shift=None to skip
-    the AdaLN, matching FFN(emb=None))."""
+    (reference layers.py:91-106; pass scale=shift=None to skip the AdaLN,
+    matching FFN(emb=None); ``residual=True`` adds ``+ x`` in-kernel)."""
     interpret = interpret or FORCE_INTERPRET
     B, T, E = x.shape
     F = w1.shape[1]
@@ -340,17 +469,40 @@ def fused_ffn_block(
     batch_spec = pl.BlockSpec((1, T_p, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((1, 1, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
+    in_specs = [
+        batch_spec, vec_spec, vec_spec,
+        pl.BlockSpec((E, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((F, E), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, E), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if quant:
+        (w1_8, w1s), (w2_8, w2s) = quantize_weight(w1), quantize_weight(w2)
+        inputs = [
+            xp, scale.astype(cd)[:, None], shift.astype(cd)[:, None],
+            w1_8, b1.astype(jnp.float32).reshape(1, F),
+            w2_8, b2.astype(jnp.float32).reshape(1, E),
+            w1s, w2s,
+        ]
+        in_specs = in_specs + [
+            pl.BlockSpec((1, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        kernel = _ffn_kernel_q8
+    else:
+        inputs = [
+            xp, scale.astype(cd)[:, None], shift.astype(cd)[:, None],
+            w1.astype(cd), b1.astype(jnp.float32).reshape(1, F),
+            w2.astype(cd), b2.astype(jnp.float32).reshape(1, E),
+        ]
+        kernel = _ffn_kernel
+
     out = pl.pallas_call(
-        functools.partial(_ffn_kernel, eps=eps, modulate=modulate),
+        functools.partial(kernel, eps=eps, modulate=modulate,
+                          residual=residual),
         out_shape=jax.ShapeDtypeStruct((B, T_p, E), x.dtype),
         grid=(B,),
-        in_specs=[
-            batch_spec, vec_spec, vec_spec,
-            pl.BlockSpec((E, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, E), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, E), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=batch_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * T_p * E * F * 2,
@@ -358,9 +510,5 @@ def fused_ffn_block(
             transcendentals=B * T_p * F,
         ),
         interpret=interpret,
-    )(
-        xp, scale.astype(cd)[:, None], shift.astype(cd)[:, None],
-        w1.astype(cd), b1.astype(jnp.float32).reshape(1, F),
-        w2.astype(cd), b2.astype(jnp.float32).reshape(1, E),
-    )
+    )(*inputs)
     return out[:, :T]

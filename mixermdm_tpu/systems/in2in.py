@@ -93,6 +93,9 @@ class In2INSystem:
         self.compute_dtype = (
             jnp.bfloat16 if _jax.default_backend() == "tpu" else None
         )
+        # W8A8 int8 projections for the (frozen-at-inference) denoisers in
+        # the sampling paths only; training is untouched.
+        self._quant = bool(self.cfg.get("QUANT", False))
         self._jit_sample = {}
 
     # ------------------------------------------------------------------ params
@@ -122,18 +125,23 @@ class In2INSystem:
             params[f"denoiser_{name}"] = d.init(rngs[1 + i], x, t, None, cond)["params"]
         return params
 
-    def denoiser_apply(self, name: str, cast: bool = False):
+    def denoiser_apply(self, name: str, cast: bool = False, quant: bool = False):
         """Bound apply fn; ``cast`` runs the transformer in ``compute_dtype``
-        (bf16 on TPU) with f32 in/out at the boundary."""
+        (bf16 on TPU) with f32 in/out at the boundary.  ``quant`` traces the
+        call inside a W8A8 scope: the fused-block projections run int8 on
+        the MXU — for FROZEN denoisers at sampling time only."""
         d = self.denoisers[name]
         cd = self.compute_dtype if cast else None
 
         def apply(p, x, t, mask, cond, train=False, rngs=None):
-            if cd is not None:
-                out = d.apply({"params": p}, x.astype(cd), t, mask,
-                              cond.astype(cd), train=train, rngs=rngs)
-                return out.astype(jnp.float32)
-            return d.apply({"params": p}, x, t, mask, cond, train=train, rngs=rngs)
+            from ..models.layers import w8a8_scope
+
+            with w8a8_scope(quant and not train):
+                if cd is not None:
+                    out = d.apply({"params": p}, x.astype(cd), t, mask,
+                                  cond.astype(cd), train=train, rngs=rngs)
+                    return out.astype(jnp.float32)
+                return d.apply({"params": p}, x, t, mask, cond, train=train, rngs=rngs)
 
         return apply
 
@@ -247,7 +255,7 @@ class In2INSystem:
     def _sample_impl(self, params, cond, rng, *, n_frames):
         B = cond.shape[0]
         if self.mode == "interaction":
-            apply = self.denoiser_apply("interaction", cast=True)
+            apply = self.denoiser_apply("interaction", cast=True, quant=self._quant)
             dparams = params["denoiser_interaction"]
             model = cfg_model_multiple(
                 lambda x, t, m, c: apply(dparams, x, t, m, c),
@@ -257,15 +265,15 @@ class In2INSystem:
             )
             shape = (B, n_frames, self.nfeats * 2)
         elif self.mode == "individual":
-            apply = self.denoiser_apply("individual", cast=True)
+            apply = self.denoiser_apply("individual", cast=True, quant=self._quant)
             dparams = params["denoiser_individual"]
             model = cfg_model(
                 lambda x, t, m, c: apply(dparams, x, t, m, c), float(self.cfg.CFG_WEIGHT)
             )
             shape = (B, n_frames, self.nfeats)
         else:  # dual = DualMDM composition baseline
-            a_ind = self.denoiser_apply("individual", cast=True)
-            a_int = self.denoiser_apply("interaction", cast=True)
+            a_ind = self.denoiser_apply("individual", cast=True, quant=self._quant)
+            a_int = self.denoiser_apply("interaction", cast=True, quant=self._quant)
             p_ind = params["denoiser_individual"]
             p_int = params["denoiser_interaction"]
             model = cfg_dual_mdm(

@@ -192,6 +192,14 @@ class MixerMDMSystem:
         self.sample_schedule = named_schedule(
             self.cfg.BETA_SCHEDULER, steps, self.cfg.get("STRATEGY", "ddim50")
         )
+        # SAMPLER config → timestep draw (reference mixermdm.py:128-129,450;
+        # the reference never calls update_with_local_losses from any training
+        # path, so the sampler state stays at its init here too).
+        from ..diffusion.samplers import create_named_schedule_sampler
+
+        (self._sampler_state0, self._sample_t, _) = create_named_schedule_sampler(
+            self.cfg.get("SAMPLER", "uniform"), steps
+        )
 
         self.normalizer1 = normalizer1 if normalizer1 is not None else hml3d_normalizer(data_root)
         self.normalizer2 = normalizer2 if normalizer2 is not None else interhuman_normalizer(data_root)
@@ -208,10 +216,16 @@ class MixerMDMSystem:
         else:
             self.compute_dtype = None
 
+        # W8A8 for the FROZEN in2IN denoisers at sampling time (the mixer
+        # itself stays bf16).  MXU int8 runs at 2x the bf16 rate on v5e;
+        # per-channel weight + per-token activation scales.  Config
+        # QUANT_FROZEN gates it (training always ignores it — the trainers
+        # trace with fused blocks off).
+        self.quant_frozen = bool(self.cfg.get("QUANT_FROZEN", False))
         self._mixer_forward = make_mixer_forward(
             self.mixer_cfg,
-            self.model1.denoiser_apply("individual"),
-            self.model2.denoiser_apply("interaction"),
+            self.model1.denoiser_apply("individual", quant=self.quant_frozen),
+            self.model2.denoiser_apply("interaction", quant=self.quant_frozen),
             lambda p, *args, train=False, rngs=None: self.core.apply(
                 {"params": p}, *args, train=train, rngs=rngs
             ),
@@ -335,7 +349,9 @@ class MixerMDMSystem:
             cond = cond * (1.0 - drop)
         seq_mask = generate_src_mask(T, motion_lens, B)
         rng_t, rng_drop = jax.random.split(rng_t)
-        t = jax.random.randint(rng_t, (B,), 0, self.train_schedule.num_timesteps)
+        # SAMPLER-config draw; the importance weight is discarded exactly like
+        # the reference (`t, _ = self.sampler.sample(...)`, mixermdm.py:450).
+        t, _ = self._sample_t(rng_t, B, self._sampler_state0)
 
         loss_params = {
             "mixer": self.mixer_params(params),

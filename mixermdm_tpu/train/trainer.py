@@ -24,6 +24,21 @@ from .optim import make_adamw
 GEN_KEYS = ("core", "text")          # + the mixer's CLIP post-encoder head
 DISC_KEYS = ("disc_i", "disc_I")
 
+# Attention implementation for the DIFFERENTIATED training graph, measured
+# at the production sizes (B=32, T=300, fused G+D step, one v5e chip):
+#   "xla"    : 599 ms  — XLA attention fwd+bwd (fastest; XLA fuses the remat
+#                        recompute into the backward)
+#   "pallas" : 622 ms  — Pallas fwd + hand-written multi-head bwd kernel
+#                        (was 764 ms with single-head bwd programs)
+# Sampling always keeps the Pallas kernels (they win there, see BASELINE.md).
+TRAIN_ATTENTION = "xla"
+
+
+def set_train_attention(impl: str) -> None:
+    global TRAIN_ATTENTION
+    assert impl in ("xla", "pallas")
+    TRAIN_ATTENTION = impl
+
 
 class MixerTrainState(NamedTuple):
     params: Any
@@ -34,6 +49,24 @@ class MixerTrainState(NamedTuple):
 
 def _subset(params: dict, keys) -> dict:
     return {k: params[k] for k in keys}
+
+
+def _trace_train_grads(loss_fn, train_params):
+    """value_and_grad under the training attention config: the VJP-less
+    fused sub-block kernels are always off; Pallas attention (which has the
+    hand-written backward kernel) only if ``TRAIN_ATTENTION == "pallas"``."""
+    from ..models import layers as _L
+
+    _old_fb = _L._FUSED_BLOCKS
+    _old_pa = _L._PALLAS_ATTENTION
+    _L.set_fused_blocks(False)
+    if TRAIN_ATTENTION == "xla":
+        _L.set_pallas_attention(False)
+    try:
+        return jax.value_and_grad(loss_fn, has_aux=True)(train_params)
+    finally:
+        _L.set_fused_blocks(_old_fb)
+        _L.set_pallas_attention(_old_pa)
 
 
 def _merge(params: dict, sub: dict) -> dict:
@@ -107,17 +140,7 @@ class MixerTrainer:
             return losses["total"], losses
 
         train_params = _subset(state.params, keys)
-        from ..models import layers as _L
-
-        # Trace-time: keep Pallas ATTENTION (it has a hand-written backward
-        # kernel, ops/attention._fused_attention_bwd_impl) but disable the
-        # VJP-less fused sub-block kernels for the differentiated graph.
-        _old = _L._FUSED_BLOCKS
-        _L.set_fused_blocks(False)
-        try:
-            (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
-        finally:
-            _L.set_fused_blocks(_old)
+        (loss, losses), grads = _trace_train_grads(loss_fn, train_params)
         updates, new_opt_state = opt.update(grads, opt_state, train_params)
         new_params = _merge(state.params, optax.apply_updates(train_params, updates))
 
@@ -242,17 +265,7 @@ class BaseTrainer:
             return losses["total"], losses
 
         train_params = _subset(state.params, keys)
-        from ..models import layers as _L
-
-        # Trace-time: keep Pallas ATTENTION (it has a hand-written backward
-        # kernel, ops/attention._fused_attention_bwd_impl) but disable the
-        # VJP-less fused sub-block kernels for the differentiated graph.
-        _old = _L._FUSED_BLOCKS
-        _L.set_fused_blocks(False)
-        try:
-            (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_params)
-        finally:
-            _L.set_fused_blocks(_old)
+        (loss, losses), grads = _trace_train_grads(loss_fn, train_params)
         updates, new_opt = self.opt.update(grads, state.opt_state, train_params)
         new_params = _merge(state.params, optax.apply_updates(train_params, updates))
         new_sampler_state = self._sampler_update(

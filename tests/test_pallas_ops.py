@@ -220,6 +220,68 @@ class TestFusedBlocks:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
 
+    def test_residual_fusion(self):
+        """residual=True == residual-less output + x, for all three kernels."""
+        from mixermdm_tpu.ops.fused_block import (
+            fused_ca_block, fused_ffn_block, fused_sa_block,
+        )
+
+        rng = np.random.default_rng(7)
+        B, T, E, H, F = 2, 15, 256, 2, 512
+        arr = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.5, jnp.float32)
+        x, xf = arr(B, T, E), arr(B, T, E)
+        mods = [arr(B, E) * 0.2 for _ in range(4)]
+        wq, bq, wk, bk, wv, bv, wo, bo = self._weights(rng, E)
+        w1, b1, w2, b2 = self._weights(rng, E, F)
+
+        sa = lambda res: fused_sa_block(
+            x, mods[0], mods[1], wq, bq, wk, bk, wv, bv, wo, bo,
+            None, n_heads=H, residual=res, interpret=True)
+        ca = lambda res: fused_ca_block(
+            x, xf, *mods, wq, bq, wk, bk, wv, bv, wo, bo,
+            None, n_heads=H, residual=res, interpret=True)
+        ffn = lambda res: fused_ffn_block(
+            x, mods[0], mods[1], w1, b1, w2, b2, residual=res, interpret=True)
+        for name, fn in [("sa", sa), ("ca", ca), ("ffn", ffn)]:
+            np.testing.assert_allclose(
+                np.asarray(fn(True)), np.asarray(fn(False) + x),
+                atol=2e-5, rtol=2e-5, err_msg=name,
+            )
+
+    def test_w8a8_quant_close_to_f32(self):
+        """W8A8 kernels (int8 MXU path) track the f32 kernels within the
+        expected 8-bit quantisation error (~1-2% of activation scale)."""
+        from mixermdm_tpu.ops.fused_block import (
+            fused_ca_block, fused_ffn_block, fused_sa_block,
+        )
+
+        rng = np.random.default_rng(11)
+        B, T, E, H, F = 2, 15, 256, 2, 512
+        arr = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.5, jnp.float32)
+        x, xf = arr(B, T, E), arr(B, T, E)
+        mods = [arr(B, E) * 0.2 for _ in range(4)]
+        wq, bq, wk, bk, wv, bv, wo, bo = self._weights(rng, E)
+        w1, b1, w2, b2 = self._weights(rng, E, F)
+
+        cases = {
+            "sa": lambda q: fused_sa_block(
+                x, mods[0], mods[1], wq, bq, wk, bk, wv, bv, wo, bo,
+                None, n_heads=H, quant=q, interpret=True),
+            "ca": lambda q: fused_ca_block(
+                x, xf, *mods, wq, bq, wk, bk, wv, bv, wo, bo,
+                None, n_heads=H, quant=q, interpret=True),
+            "ffn": lambda q: fused_ffn_block(
+                x, mods[0], mods[1], w1, b1, w2, b2, quant=q, interpret=True),
+        }
+        for name, fn in cases.items():
+            ref = np.asarray(fn(False))
+            out = np.asarray(fn(True))
+            scale = max(np.abs(ref).max(), 1e-6)
+            err = np.abs(out - ref).max() / scale
+            assert err < 0.05, f"{name}: relative error {err:.4f}"
+            # And it must actually differ (the int8 path really ran).
+            assert err > 1e-6, f"{name}: quant path identical — not engaged?"
+
     def test_layer_fused_path_matches_unfused_bf16(self):
         """The wired-in fused path (bf16) vs the XLA path on the same params."""
         from mixermdm_tpu.models import layers as L
@@ -336,3 +398,44 @@ class TestFusedPathSystemLevel:
         # with activation magnitude over 2 layers.
         scale = max(np.abs(u).max(), 1.0)
         np.testing.assert_allclose(f / scale, u / scale, atol=5e-2)
+
+    def test_denoiser_w8a8_vs_bf16(self):
+        """Full denoiser forward under the W8A8 scope vs the bf16 fused path:
+        8-bit quantisation error stays small through 2 layers."""
+        import mixermdm_tpu.ops.attention as A
+        import mixermdm_tpu.ops.fused_block as FB
+        from mixermdm_tpu.models import layers as L
+        from mixermdm_tpu.models.in2in import In2INDenoiser
+
+        den = In2INDenoiser(input_feats=262, mode="interaction", latent_dim=128,
+                            ff_size=256, num_layers=2, num_heads=1, dropout=0.0)
+        rng = jax.random.PRNGKey(0)
+        B, T = 2, 17
+        x = jax.random.normal(rng, (B, T, 524)) * 0.5
+        cond = jax.random.normal(jax.random.fold_in(rng, 1), (B, 3 * 768)) * 0.2
+        t = jnp.asarray([3, 7])
+        mask = jnp.ones((B, T, 1)).at[1, -4:].set(0.0)
+        params = den.init(jax.random.PRNGKey(1), x, t, mask, cond)["params"]
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.05 * jax.random.normal(jax.random.PRNGKey(2), a.shape),
+            params,
+        )
+
+        xb, cb = x.astype(jnp.bfloat16), cond.astype(jnp.bfloat16)
+        old_fb, old_a = FB.FORCE_INTERPRET, A.FORCE_INTERPRET
+        FB.FORCE_INTERPRET = A.FORCE_INTERPRET = True
+        try:
+            L.set_pallas_attention(True)
+            L.set_fused_blocks(True)
+            ref = den.apply({"params": params}, xb, t, mask, cb)
+            with L.w8a8_scope(True):
+                quant = den.apply({"params": params}, xb, t, mask, cb)
+        finally:
+            FB.FORCE_INTERPRET, A.FORCE_INTERPRET = old_fb, old_a
+            L.set_pallas_attention(None)
+        r = np.asarray(ref, np.float32)
+        q = np.asarray(quant, np.float32)
+        scale = max(np.abs(r).max(), 1e-6)
+        err = np.abs(q - r).max() / scale
+        assert err < 0.08, f"w8a8 system-level relative error {err:.4f}"
+        assert err > 1e-6, "quant scope did not engage"

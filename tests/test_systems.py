@@ -79,7 +79,7 @@ class TestIn2INInteraction:
         assert bool(jnp.isfinite(losses["total"]))
 
 
-def tiny_mixer():
+def tiny_mixer(sampler: str = "uniform"):
     mixer_cfg = Config.wrap(
         {
             "NAME": "MixerMDM",
@@ -88,7 +88,7 @@ def tiny_mixer():
             "DISCRIMINATOR": {"NUM_LAYERS": 1, "NUM_HEADS": 2, "DROPOUT": 0.0,
                               "INPUT_DIM": 262, "LATENT_DIM": 32, "FF_SIZE": 64},
             "ACTIVATION": "gelu", "DIFFUSION_STEPS": 8, "BETA_SCHEDULER": "cosine",
-            "SAMPLER": "uniform", "MOTION_REP": "global", "T_BAR": 4,
+            "SAMPLER": sampler, "MOTION_REP": "global", "T_BAR": 4,
             "STRATEGY": "ddim4", "CFG_WEIGHT": 3.5, "MIXING_MODE": 4,
             "FORCE_INFLUENCE_VAL": None,
         }

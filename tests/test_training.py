@@ -151,6 +151,16 @@ class TestScheduleSamplerWiring:
         state = trainer.init_state(sys_.init_params(jax.random.PRNGKey(0)))
         assert state.sampler_state is not None
 
+    def test_mixer_system_honors_sampler_config(self):
+        """MixerMDMSystem draws t via the SAMPLER config (reference
+        mixermdm.py:128-129,450), not an inline uniform randint."""
+        from tests.test_systems import tiny_mixer
+
+        sys_ = tiny_mixer(sampler="loss-second-moment")
+        assert sys_._sampler_state0 is not None  # loss-aware history allocated
+        sys_u = tiny_mixer()
+        assert sys_u._sampler_state0 is None     # uniform: trivial state
+
     def test_cosine_warmup_schedule_drives_lr(self):
         from mixermdm_tpu.train.optim import cosine_warmup_schedule
 
