@@ -37,6 +37,21 @@ from .in2in import In2INSystem, generate_src_mask
 from .text import TextPipeline
 
 
+def _maybe_quant(inner, quant: bool):
+    """Wrap a bound denoiser apply in the W8A8 trace-time scope (int8
+    fused-block projections for frozen denoisers at sampling time)."""
+    if not quant:
+        return inner
+
+    def apply(p, x, t, mask, cond, train=False, rngs=None):
+        from ..models.layers import w8a8_scope
+
+        with w8a8_scope(not train):
+            return inner(p, x, t, mask, cond, train=train, rngs=rngs)
+
+    return apply
+
+
 class MDMAsIndividual:
     """Adapter presenting an MDMSystem with the In2INSystem submodel API the
     Mixer expects (reference supports MDM as MODEL1, mixermdm.py:32-35).
@@ -59,9 +74,9 @@ class MDMAsIndividual:
             "embed_text": p["embed_text"],
         }
 
-    def denoiser_apply(self, name: str, cast: bool = False):
+    def denoiser_apply(self, name: str, cast: bool = False, quant: bool = False):
         inner = self.mdm.denoiser_apply(cast)
-        return inner
+        return _maybe_quant(inner, quant)
 
     def text_process(self, params, texts, mode="individual"):
         return self.mdm.text_process(
@@ -90,8 +105,8 @@ class InterGenAsInteraction:
         p = self.intergen.init_params(rng)
         return {"denoiser_interaction": p["denoiser"], "text": p["text"]}
 
-    def denoiser_apply(self, name: str, cast: bool = False):
-        return self.intergen.denoiser_apply(cast)
+    def denoiser_apply(self, name: str, cast: bool = False, quant: bool = False):
+        return _maybe_quant(self.intergen.denoiser_apply(cast), quant)
 
     def text_process(self, params, texts, mode="interaction"):
         return self.text.encode_texts(params["text"], texts, head="interaction")
