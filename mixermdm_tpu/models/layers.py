@@ -57,6 +57,15 @@ def set_fused_blocks(enabled: bool) -> None:
 # and all training graphs stay bf16/f32).
 _W8A8: bool = False
 
+# Width gate: int8 only pays where the matmuls dominate the per-row
+# activation-quant VPU overhead.  Measured on the bench workload: E=1024
+# denoisers +25%, E=512 mixer core -2% — so sub-768 layers stay bf16.
+_W8A8_MIN_DIM = 768
+
+
+def _w8a8_for(latent_dim: int) -> bool:
+    return _W8A8 and latent_dim >= _W8A8_MIN_DIM
+
 
 class w8a8_scope:
     def __init__(self, enabled: bool = True):
@@ -293,7 +302,7 @@ class VanillaSelfAttention(nn.Module):
             return fused_sa_block(
                 x, scale, shift, wq, bq, wk, bk, wv, bv, wo, bo,
                 key_padding_mask, n_heads=self.num_heads, residual=residual,
-                quant=_W8A8,
+                quant=_w8a8_for(self.latent_dim),
             )
         x_norm = AdaLN(self.latent_dim, name="norm")(x, emb)
         out = TorchMultiheadAttention(
@@ -349,7 +358,7 @@ class VanillaCrossAttention(nn.Module):
                 x, xf, scale, shift, xf_scale, xf_shift,
                 wq, bq, wk, bk, wv, bv, wo, bo,
                 key_padding_mask, n_heads=self.num_heads, residual=residual,
-                quant=_W8A8,
+                quant=_w8a8_for(self.latent_dim),
             )
         x_norm = AdaLN(self.latent_dim, name="norm")(x, emb)
         xf_norm = AdaLN(self.xf_latent_dim, name="xf_norm")(xf, emb)
@@ -391,7 +400,8 @@ class FFN(nn.Module):
             w2, b2 = ZeroLinear(self.latent_dim,
                                 in_features=self.ffn_dim, name="linear2")(None)
             return fused_ffn_block(x, scale, shift, w1, b1, w2, b2,
-                                   residual=residual, quant=_W8A8)
+                                   residual=residual,
+                                   quant=_w8a8_for(self.latent_dim))
         h_in = x
         if emb is not None:
             h_in = AdaLN(self.latent_dim, name="norm")(x, emb)

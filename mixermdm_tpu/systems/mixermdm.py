@@ -424,6 +424,19 @@ class MixerMDMSystem:
 
     def _sample_impl(self, params, cond, rng, fiv_val, *, n_frames,
                      collect_influence, use_fiv):
+        from ..models.layers import w8a8_scope
+
+        with w8a8_scope(self.quant_frozen):
+            return self._sample_body(params, cond, rng, fiv_val,
+                                     n_frames=n_frames,
+                                     collect_influence=collect_influence,
+                                     use_fiv=use_fiv)
+
+    def _sample_body(self, params, cond, rng, fiv_val, *, n_frames,
+                     collect_influence, use_fiv):
+        """At sampling time EVERY network is frozen, so under QUANT_FROZEN
+        the whole trace (mixer/influence core included, not just the in2IN
+        denoisers) runs its fused-block projections as int8 on the MXU."""
         B = cond.shape[0]
         mp = self.mixer_params(params)
         if self.compute_dtype is not None:

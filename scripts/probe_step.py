@@ -53,6 +53,26 @@ def main():
 
         MD.center_person_fast = lambda x: x
         MX.align_persons_fast = lambda r, m, mask=None: (r, m)
+    elif which == "nonets":
+        # Constant mixer-forward output: XLA DCEs denoisers+mixer entirely,
+        # leaving only the DDIM arithmetic / process_xstart / CFG plumbing.
+        import mixermdm_tpu.systems.mixermdm as SM
+
+        orig = SM.make_mixer_forward
+
+        def patched(cfg, a1, a2, core_apply, n1, n2, **kw):
+            import jax.numpy as jnp
+
+            f = orig(cfg, a1, a2, core_apply, n1, n2, **kw)
+
+            def wrapper(*args, **k):
+                out = f(*args, **k)
+                return jax.tree_util.tree_map(
+                    lambda a: jnp.full_like(a, 0.1), out)
+
+            return wrapper
+
+        SM.make_mixer_forward = patched
     elif which == "noinfluence":
         # Constant influence: full_like only uses shape/dtype, so XLA
         # dead-code-eliminates the whole influence-net computation.

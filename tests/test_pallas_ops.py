@@ -423,16 +423,19 @@ class TestFusedPathSystemLevel:
 
         xb, cb = x.astype(jnp.bfloat16), cond.astype(jnp.bfloat16)
         old_fb, old_a = FB.FORCE_INTERPRET, A.FORCE_INTERPRET
+        old_gate = L._W8A8_MIN_DIM
         FB.FORCE_INTERPRET = A.FORCE_INTERPRET = True
         try:
             L.set_pallas_attention(True)
             L.set_fused_blocks(True)
+            L._W8A8_MIN_DIM = 0     # width gate tuned for v5e; test is tiny
             ref = den.apply({"params": params}, xb, t, mask, cb)
             with L.w8a8_scope(True):
                 quant = den.apply({"params": params}, xb, t, mask, cb)
         finally:
             FB.FORCE_INTERPRET, A.FORCE_INTERPRET = old_fb, old_a
             L.set_pallas_attention(None)
+            L._W8A8_MIN_DIM = old_gate
         r = np.asarray(ref, np.float32)
         q = np.asarray(quant, np.float32)
         scale = max(np.abs(r).max(), 1e-6)

@@ -38,6 +38,25 @@ class TestMultiDeviceTraining:
 
         ge.dryrun_multichip(8)
 
+    def test_mixer_sharded_sampling(self, mesh):
+        """Data-parallel generation (the eval-at-scale path): replicated
+        params + batch-sharded cond through the full DDIM chain."""
+        from tests.test_systems import tiny_mixer
+
+        sys_ = tiny_mixer()
+        params = replicate(sys_.init_params(jax.random.PRNGKey(0)), mesh)
+        B, T = 8, 12
+        cond = shard_batch(
+            {"c": np.random.default_rng(1).standard_normal(
+                (B, 8 * sys_.text_dim)).astype(np.float32)},
+            mesh,
+        )["c"]
+        out = sys_.sample(params, cond, T, jax.random.PRNGKey(2))
+        assert out.shape == (B, T, 2 * sys_.nfeats)
+        assert bool(jnp.isfinite(out).all())
+        # The output stays sharded along the batch axis (no implicit gather).
+        assert len({s.device for s in out.addressable_shards}) == 8
+
     def test_base_trainer_sharded_step(self, mesh):
         from mixermdm_tpu.config import tiny_config
         from mixermdm_tpu.models.clip_text import ClipTextConfig
