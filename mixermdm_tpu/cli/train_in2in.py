@@ -100,7 +100,7 @@ def main(argv=None):
 
     mesh = make_data_mesh_for_batch(args.batch_size)
     trainer = BaseTrainer(system, lr=args.lr, weight_decay=args.weight_decay,
-                          mesh=mesh, lr_schedule=lr_schedule)
+                          mesh=mesh, lr_schedule=lr_schedule, donate=True)
     state = trainer.init_state(params)
     if args.resume:
         from ..train.checkpoint import restore_train_state

@@ -69,6 +69,7 @@ def main(argv=None):
         I_loss_factor=float(tr.INTERACTION_LOSS_FACTOR),
         l1=float(tr.LOSS_L1),
         mesh=mesh,
+        donate=True,   # production loop threads the state; in-place updates
     )
     state = trainer.init_state(params)
     if args.resume:

@@ -33,7 +33,12 @@ def collate(samples: list[dict]) -> dict:
 
 
 class DataLoader:
-    """Shuffling, batching, prefetching iterator over a random-access dataset."""
+    """Shuffling, batching, prefetching iterator over a random-access dataset.
+
+    ``num_workers > 1`` builds batches in N threads with ORDER-preserving
+    delivery: the batch sequence of an epoch is identical for any worker
+    count (only the datasets' internal augmentation draw order may differ,
+    since workers interleave draws from the shared RNG)."""
 
     def __init__(
         self,
@@ -44,6 +49,7 @@ class DataLoader:
         seed: int = 0,
         prefetch: int = 2,
         transform: Optional[Callable[[dict], dict]] = None,
+        num_workers: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -52,6 +58,7 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.transform = transform
+        self.num_workers = max(1, num_workers)
         self.epoch = 0
 
     def __len__(self):
@@ -73,19 +80,63 @@ class DataLoader:
         batches = self._index_batches()
         self.epoch += 1
 
-        def produce(q):
-            for b in batches:
-                batch = collate([self.dataset[int(i)] for i in b])
-                if self.transform is not None:
-                    batch = self.transform(batch)
-                q.put(batch)
-            q.put(None)
+        def make(b):
+            batch = collate([self.dataset[int(i)] for i in b])
+            if self.transform is not None:
+                batch = self.transform(batch)
+            return batch
 
-        q: queue.Queue = queue.Queue(maxsize=max(1, self.prefetch))
-        t = threading.Thread(target=produce, args=(q,), daemon=True)
-        t.start()
-        while True:
-            batch = q.get()
-            if batch is None:
-                return
+        if self.num_workers == 1:
+            def produce(q):
+                for b in batches:
+                    q.put(make(b))
+                q.put(None)
+
+            q: queue.Queue = queue.Queue(maxsize=max(1, self.prefetch))
+            t = threading.Thread(target=produce, args=(q,), daemon=True)
+            t.start()
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+            return
+
+        # Multi-worker: N threads build batches concurrently (numpy augment
+        # + collate release the GIL for array ops); delivery stays in batch
+        # order so epochs are deterministic regardless of worker count.
+        task_q: queue.Queue = queue.Queue()
+        done: dict[int, dict] = {}
+        done_lock = threading.Lock()
+        done_cv = threading.Condition(done_lock)
+        for i, b in enumerate(batches):
+            task_q.put((i, b))
+
+        def worker():
+            while True:
+                try:
+                    i, b = task_q.get_nowait()
+                except queue.Empty:
+                    return
+                batch = make(b)
+                with done_cv:
+                    # Bounded prefetch: don't run more than `prefetch`
+                    # batches ahead of the consumer.
+                    while i > self._next + max(1, self.prefetch):
+                        done_cv.wait()
+                    done[i] = batch
+                    done_cv.notify_all()
+
+        self._next = 0
+        workers = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for w in workers:
+            w.start()
+        for i in range(len(batches)):
+            with done_cv:
+                while i not in done:
+                    done_cv.wait()
+                batch = done.pop(i)
+                self._next = i + 1
+                done_cv.notify_all()
             yield batch

@@ -90,6 +90,7 @@ class MixerTrainer:
         I_loss_factor: float = 2.0,
         l1: float = 0.1,
         mesh=None,
+        donate: bool = False,
     ):
         self.system = system
         self.discriminator_steps = discriminator_steps
@@ -103,15 +104,21 @@ class MixerTrainer:
         # Sharding rides on the arguments: callers place the batch with
         # ``parallel.mesh.shard_batch`` and params with ``replicate`` — jit
         # then compiles an SPMD program with the gradient psum over ICI.
-        self._gen_step = jax.jit(partial(self._step, mode="generator"))
-        self._disc_step = jax.jit(partial(self._step, mode="discriminator"))
+        # ``donate=True`` donates the state: params + both optimizer trees
+        # update in place instead of allocating a second copy each step
+        # (measured 599 -> 587 ms at full size).  The training CLIs enable
+        # it; it stays opt-in because a donated state's buffers are dead
+        # after the call — interactive/test code often reuses them.
+        dn = dict(donate_argnums=(0,)) if donate else {}
+        self._gen_step = jax.jit(partial(self._step, mode="generator"), **dn)
+        self._disc_step = jax.jit(partial(self._step, mode="discriminator"), **dn)
         # Fused G(+D) program: ONE dispatch per batch (per-step Python
         # dispatch over the device tunnel is pure overhead — SURVEY §7's
         # "three-network GAN" hard part).  ``do_disc`` is static, so at most
         # two traces exist (G-only and G+D).
         self._fused_step = {
-            True: jax.jit(partial(self._fused, do_disc=True)),
-            False: jax.jit(partial(self._fused, do_disc=False)),
+            True: jax.jit(partial(self._fused, do_disc=True), **dn),
+            False: jax.jit(partial(self._fused, do_disc=False), **dn),
         }
 
     def init_state(self, params) -> MixerTrainState:
@@ -208,6 +215,7 @@ class BaseTrainer:
         train_text_head: bool = True,
         sampler: Optional[str] = None,
         lr_schedule=None,
+        donate: bool = False,
     ):
         from ..diffusion.samplers import create_named_schedule_sampler
 
@@ -216,6 +224,7 @@ class BaseTrainer:
         self.opt = make_adamw(lr, weight_decay, clip_norm, grad_acc_steps,
                               schedule=lr_schedule)
         self.mesh = mesh
+        self._donate = donate
 
         name = sampler
         if name is None:
@@ -227,7 +236,9 @@ class BaseTrainer:
             name, system.train_schedule.num_timesteps
         )
 
-        self._jit_step = jax.jit(self._step)
+        self._jit_step = jax.jit(
+            self._step, **(dict(donate_argnums=(0,)) if donate else {})
+        )
 
     def _trainable_keys(self, params):
         keys = [k for k in params if k.startswith("denoiser")]

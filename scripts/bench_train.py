@@ -45,7 +45,8 @@ def main(argv=None):
 
     system = build_system(tiny=args.tiny)
     params = system.init_params(jax.random.PRNGKey(0))
-    trainer = MixerTrainer(system, grad_acc_steps=2, discriminator_steps=1)
+    trainer = MixerTrainer(system, grad_acc_steps=2, discriminator_steps=1,
+                           donate=True)
     state = trainer.init_state(params)
 
     rng = np.random.default_rng(0)
@@ -59,14 +60,17 @@ def main(argv=None):
     }
 
     def time_steps(label):
+        # The train state is DONATED into the step, so thread it like a
+        # real training loop (never reuse a consumed state).
+        st = trainer.init_state(params)
         key = jax.random.PRNGKey(1)
-        state2, g, d = trainer.fit_step(state, batch, key, 0)   # compile
+        st, g, d = trainer.fit_step(st, batch, key, 0)   # compile
         jax.block_until_ready(g["total"])
         times = []
         for i in range(args.repeats):
             key = jax.random.PRNGKey(2 + i)
             t0 = time.perf_counter()
-            state2, g, d = trainer.fit_step(state, batch, key, 0)
+            st, g, d = trainer.fit_step(st, batch, key, 0)
             jax.block_until_ready(g["total"])
             times.append(time.perf_counter() - t0)
         best = min(times)
@@ -88,7 +92,8 @@ def main(argv=None):
             }))
             return
         TR.set_train_attention("pallas")
-        trainer = MixerTrainer(system, grad_acc_steps=2, discriminator_steps=1)
+        trainer = MixerTrainer(system, grad_acc_steps=2, discriminator_steps=1,
+                               donate=True)
 
     best = time_steps(f"{TR.TRAIN_ATTENTION} attention path")
     results.update({

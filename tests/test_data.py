@@ -91,3 +91,14 @@ class TestLoader:
         names1 = [tuple(b["name"]) for b in dl]
         names2 = [tuple(b["name"]) for b in dl]
         assert names1 != names2  # different epoch order (overwhelmingly likely)
+
+    def test_multiworker_order_matches_single(self, ih_root):
+        """num_workers must not change batch order or content within an
+        epoch (deterministic epochs regardless of parallelism)."""
+        ds = InterHumanDataset(ih_root, mode="train", max_gt_length=32)
+        dl1 = DataLoader(ds, batch_size=2, seed=7, num_workers=1)
+        dl4 = DataLoader(ds, batch_size=2, seed=7, num_workers=4, prefetch=1)
+        names1 = [tuple(b["name"]) for b in dl1]
+        names4 = [tuple(b["name"]) for b in dl4]
+        assert names1 == names4
+        assert len(names1) == len(ds) // 2
