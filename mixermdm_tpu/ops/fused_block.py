@@ -29,6 +29,12 @@ from .attention import NEG_INF, _round_up
 # Test hook, mirroring ops.attention.FORCE_INTERPRET.
 FORCE_INTERPRET = False
 
+# Key/value sequence padding multiple.  8 (the sublane multiple) saves ~21%
+# of the k/v projection rows at T=299 (304 vs 384); Mosaic's masked lowering
+# handles the non-lane-aligned logits/PV contractions — measured bitwise
+# identical to the 128-multiple padding on v5e, and no slower per kernel.
+KV_PAD = 8
+
 
 def _ln(x32, eps):
     mean = x32.mean(axis=-1, keepdims=True)
@@ -173,7 +179,7 @@ def fused_sa_block(
     attn_scale = 1.0 / (D ** 0.5)
 
     Tq_p = _round_up(max(T, 8), 8)       # query/output rows: sublane multiple
-    Tk_p = _round_up(max(T, 128), 128)   # key/value rows: lane multiple
+    Tk_p = _round_up(max(T, KV_PAD), KV_PAD)   # key/value rows (see KV_PAD)
     xp = jnp.pad(x, ((0, 0), (0, Tk_p - T), (0, 0)))
 
     key_valid = jnp.arange(Tk_p) < T
@@ -335,7 +341,7 @@ def fused_ca_block(
     D = E // n_heads
     attn_scale = 1.0 / (D ** 0.5)
     Tq_p = _round_up(max(T, 8), 8)
-    Tk_p = _round_up(max(T, 128), 128)
+    Tk_p = _round_up(max(T, KV_PAD), KV_PAD)
 
     xp = jnp.pad(x, ((0, 0), (0, Tq_p - T), (0, 0)))
     xfp = jnp.pad(xf, ((0, 0), (0, Tk_p - T), (0, 0)))
