@@ -73,10 +73,12 @@ def main(tiny: bool = False, repeats: int = 3, quant: bool = False):
     t = 16 if tiny else T
     cond = jax.random.normal(jax.random.PRNGKey(1), (b, 8 * system.text_dim))
 
-    # Warm-up / compile.
+    # Warm-up / compile — and a sanity check that we are not timing NaN/inf
+    # propagation (fresh zero-init models emit ~0, never non-finite).
     rng = jax.random.PRNGKey(2)
     out = system.sample(params, cond, t, rng)
     jax.block_until_ready(out)
+    assert bool(jnp.isfinite(out).all()), "benchmark output is not finite"
 
     times = []
     for i in range(repeats):

@@ -50,7 +50,7 @@ def _length_groups(idx_list, dataset, per_item: bool, batch_size: int):
 
 
 def _generate_batches(system, params, dataset, rng, *, num_samples, batch_size,
-                      per_item, collect_ind_texts):
+                      per_item, collect_ind_texts, mesh=None):
     """Batched mixer generation over a GT set.
 
     Returns (gt_batches, gen_batches, ind_text_batches); every batch is
@@ -76,8 +76,10 @@ def _generate_batches(system, params, dataset, rng, *, num_samples, batch_size,
 
         rng, step = jax.random.split(rng)
         T = int(batch["motion_lens"].max())
-        motions = np.asarray(
-            system.sample(params, system.generate_cond(params, batch), T, step)
+        from ..eval.datasets import _sharded_sample
+
+        motions = _sharded_sample(
+            system, params, system.generate_cond(params, batch), T, step, mesh
         )
         pad = batch["motions"].shape[1] - T
         if pad > 0:
@@ -89,7 +91,7 @@ def _generate_batches(system, params, dataset, rng, *, num_samples, batch_size,
 def run_side(system, params, gt_dataset, wrapper, protocol, *, individual,
              num_samples, batch_size, max_frames, replications, seed,
              per_item=False, mm_num_samples=None, mm_num_repeats=None,
-             model_name="mixermdm"):
+             model_name="mixermdm", mesh=None):
     """One dataset side of the protocol (reference ``evaluation()``,
     eval/mixermdm.py:124-213).  Returns {metric: {name: [per-replication]}}.
     """
@@ -115,7 +117,7 @@ def run_side(system, params, gt_dataset, wrapper, protocol, *, individual,
         gt_batches, gen_batches, ind_texts = _generate_batches(
             system, params, gt_dataset, gen_rng,
             num_samples=num_samples, batch_size=batch_size,
-            per_item=per_item, collect_ind_texts=individual,
+            per_item=per_item, collect_ind_texts=individual, mesh=mesh,
         )
         if individual:
             # The individual evaluator scores per-person halves against the
@@ -142,7 +144,7 @@ def run_side(system, params, gt_dataset, wrapper, protocol, *, individual,
             mm_set = MMGeneratedDataset(
                 system, params, gt_dataset, mm_rng,
                 mm_num_samples=mm_num_samples, mm_num_repeats=mm_num_repeats,
-                max_frames=max_frames,
+                max_frames=max_frames, mesh=mesh,
             )
             # times must stay below the replica count (metrics.py sampling);
             # only relevant for down-scaled --tiny runs (protocol: 15 > 5).
@@ -189,6 +191,8 @@ def main(argv=None):
                         help="generate each item at its own length "
                              "(protocol-exact; reference datasets.py:116)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--no-data-parallel", action="store_true",
+                        help="disable sharding generation over the device mesh")
     parser.add_argument("--tiny", action="store_true")
     args = parser.parse_args(argv)
 
@@ -271,11 +275,23 @@ def main(argv=None):
                 args.evaluator_individual_checkpoint, eval_ind_params
             )
 
+    # Data-parallel generation over all local devices: params replicated,
+    # cond batches sharded on the data axis (each chip samples its slice of
+    # the batch independently — generation has no cross-item coupling).
+    mesh = None
+    if len(jax.devices()) > 1 and not args.no_data_parallel:
+        from ..parallel.mesh import make_mesh, replicate
+
+        mesh = make_mesh()
+        params = replicate(params, mesh)
+        print(f"data-parallel generation over {mesh.devices.size} devices")
+
     side_kw = dict(
         num_samples=num_samples, max_frames=max_frames,
         replications=replications, seed=args.seed,
         per_item=args.per_item_lengths,
         mm_num_samples=mm_num_samples, mm_num_repeats=mm_num_repeats,
+        mesh=mesh,
     )
 
     metrics_ih = metrics_hml = None

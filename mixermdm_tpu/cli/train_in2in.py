@@ -23,7 +23,12 @@ def main(argv=None):
     parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--weight-decay", type=float, default=2e-5)
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--resume", type=str, default=None,
+                        help='path to a *_state checkpoint, or "auto" for '
+                             "the newest one in --out-dir")
+    parser.add_argument("--save-epoch", type=int, default=100,
+                        help="save params + full train state every N epochs "
+                             "(reference SAVE_EPOCH, configs/train)")
     parser.add_argument("--tiny", action="store_true")
     parser.add_argument("--max-steps", type=int, default=None)
     args = parser.parse_args(argv)
@@ -102,6 +107,11 @@ def main(argv=None):
     trainer = BaseTrainer(system, lr=args.lr, weight_decay=args.weight_decay,
                           mesh=mesh, lr_schedule=lr_schedule, donate=True)
     state = trainer.init_state(params)
+    if args.resume == "auto":
+        from ..train.checkpoint import latest_train_state_path
+
+        args.resume = latest_train_state_path(args.out_dir)
+        print(f"--resume auto -> {args.resume}")
     if args.resume:
         from ..train.checkpoint import restore_train_state
 
@@ -136,6 +146,12 @@ def main(argv=None):
             step += 1
             if args.max_steps and step >= args.max_steps:
                 break
+        if (epoch + 1) % args.save_epoch == 0:
+            from ..train.checkpoint import save_train_state as _sts
+
+            save_checkpoint(os.path.join(args.out_dir, f"epoch_{epoch+1}"),
+                            state.params)
+            _sts(os.path.join(args.out_dir, f"epoch_{epoch+1}_state"), state)
         if args.max_steps and step >= args.max_steps:
             break
 

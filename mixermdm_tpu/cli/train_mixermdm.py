@@ -72,6 +72,13 @@ def main(argv=None):
         donate=True,   # production loop threads the state; in-place updates
     )
     state = trainer.init_state(params)
+    if args.resume == "auto":
+        # Pick the newest *_state checkpoint in the output dir (elastic
+        # restart: crashed/preempted jobs relaunch with the same command).
+        from ..train.checkpoint import latest_train_state_path
+
+        args.resume = latest_train_state_path(args.out_dir)
+        print(f"--resume auto -> {args.resume}")
     if args.resume:
         # Full train-state resume (params + BOTH optimizer states + step),
         # matching the reference's Lightning ckpt_path restore

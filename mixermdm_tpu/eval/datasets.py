@@ -28,6 +28,28 @@ def default_text_decomposer(interaction_texts: List[str]):
     return list(interaction_texts), list(interaction_texts)
 
 
+def _sharded_sample(system, params, cond, T, rng, mesh, **kwargs):
+    """Data-parallel generation: pad the cond batch to the mesh size, shard
+    it over the ``data`` axis (params must already be replicated by the
+    caller), sample, and drop the pad rows.  ``mesh=None`` = single device."""
+    if mesh is None:
+        return np.asarray(system.sample(params, cond, T, rng, **kwargs))
+    import jax.numpy as jnp
+
+    from ..parallel.mesh import data_sharded
+
+    import jax
+
+    B = cond.shape[0]
+    ndev = mesh.devices.size
+    pad = (-B) % ndev
+    if pad:
+        cond = jnp.concatenate([cond, jnp.repeat(cond[-1:], pad, axis=0)])
+    cond = jax.device_put(cond, data_sharded(mesh))
+    out = system.sample(params, cond, T, rng, **kwargs)
+    return np.asarray(out)[:B]
+
+
 class EvaluationDatasetInterHuman:
     """Generated-motion dataset over the InterHuman GT test set.
 
@@ -46,6 +68,7 @@ class EvaluationDatasetInterHuman:
         max_frames: int = 300,
         text_decomposer: Optional[Callable] = None,
         force_influence_val: Optional[float] = None,
+        mesh=None,
     ):
         import jax
 
@@ -77,7 +100,9 @@ class EvaluationDatasetInterHuman:
                 {"force_influence_val": force_influence_val}
                 if force_influence_val is not None else {}
             )
-            motions = np.asarray(system.sample(params, cond, T, step, **fiv_kwargs))
+            motions = _sharded_sample(
+                system, params, cond, T, step, mesh, **fiv_kwargs
+            )
 
             pad = max_frames - T
             if pad > 0:
@@ -125,6 +150,7 @@ class MMGeneratedDataset:
         mm_num_samples: int = 50,
         mm_num_repeats: int = 15,
         max_frames: int = 300,
+        mesh=None,
     ):
         import jax
 
@@ -143,7 +169,7 @@ class MMGeneratedDataset:
             rng, step = jax.random.split(rng)
             T = int(s["motion_lens"])
             cond = system.generate_cond(params, batch)
-            motions = np.asarray(system.sample(params, cond, T, step))
+            motions = _sharded_sample(system, params, cond, T, step, mesh)
             pad = max_frames - T
             if pad > 0:
                 motions = np.pad(motions, ((0, 0), (0, pad), (0, 0)))

@@ -51,6 +51,23 @@ def save_train_state(path: str, state) -> None:
     ckptr.wait_until_finished()
 
 
+def latest_train_state_path(out_dir: str):
+    """Newest ``*_state`` checkpoint under ``out_dir`` (``--resume auto``):
+    ``final_state`` wins, else the highest ``epoch_N_state``."""
+    import glob
+    import re
+
+    cands = glob.glob(os.path.join(out_dir, "*_state"))
+
+    def rank(p):
+        if p.endswith("final_state"):
+            return (2, 0)
+        m = re.search(r"epoch_(\d+)_state$", p)
+        return (1, int(m.group(1))) if m else (0, 0)
+
+    return max(cands, key=rank) if cands else None
+
+
 def restore_train_state(path: str, template):
     """Restore a full train state saved by :func:`save_train_state`.
 

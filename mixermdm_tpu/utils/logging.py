@@ -42,6 +42,36 @@ class MetricLogger:
             self._counts.clear()
 
 
+class WandbLogger:
+    """wandb adapter matching the reference's ``WandbLogger`` usage
+    (scripts/train/mixermdm.py:326 etc.): logs to wandb when the package is
+    installed AND ``WANDB_API_KEY``/offline mode is configured; otherwise
+    degrades to a no-op so training never depends on network access.
+    Compose with :class:`MetricLogger` for the console/JSONL side."""
+
+    def __init__(self, project: str, name: Optional[str] = None, config=None):
+        self._run = None
+        try:
+            import wandb  # noqa: F401  (optional dependency, gated)
+
+            self._run = wandb.init(project=project, name=name,
+                                   config=dict(config or {}))
+        except Exception:
+            pass  # package missing / no credentials: stay silent, stay no-op
+
+    @property
+    def active(self) -> bool:
+        return self._run is not None
+
+    def log(self, step: int, epoch: int, metrics: dict) -> None:
+        if self._run is not None:
+            self._run.log({"epoch": epoch, **metrics}, step=step)
+
+    def finish(self) -> None:
+        if self._run is not None:
+            self._run.finish()
+
+
 class ProfilerSession:
     """Context manager capturing a jax.profiler trace for TensorBoard."""
 

@@ -148,3 +148,15 @@ class TestInterclipConverter:
         a = model.encode_motion(params, motions, lens)
         b = model.encode_motion(jax.tree_util.tree_map(jnp.asarray, back), motions, lens)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestAutoResume:
+    def test_latest_train_state_path(self, tmp_path):
+        from mixermdm_tpu.train.checkpoint import latest_train_state_path
+
+        assert latest_train_state_path(str(tmp_path)) is None
+        (tmp_path / "epoch_2_state").mkdir()
+        (tmp_path / "epoch_10_state").mkdir()
+        assert latest_train_state_path(str(tmp_path)).endswith("epoch_10_state")
+        (tmp_path / "final_state").mkdir()
+        assert latest_train_state_path(str(tmp_path)).endswith("final_state")
