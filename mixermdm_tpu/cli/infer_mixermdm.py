@@ -91,7 +91,21 @@ def main(argv=None):
         "motion_lens": np.asarray([window] * B),
     }
 
-    out = system.forward(params, batch, rng)
+    if len(jax.devices()) > 1 and B % len(jax.devices()) == 0:
+        # Data-parallel generation: params replicated, the per-prompt sample
+        # batch sharded over the device mesh (samples are independent).
+        from ..parallel.mesh import data_sharded, make_mesh, replicate
+
+        mesh = make_mesh()
+        params = replicate(params, mesh)
+        cond = jax.device_put(system.generate_cond(params, batch),
+                              data_sharded(mesh))
+        sampled, infl = system.sample(params, cond, window, rng,
+                                      collect_influence=True)
+        out = {"output": sampled, "influence_i1": infl[0],
+               "influence_i2": infl[1]}
+    else:
+        out = system.forward(params, batch, rng)
     motions = np.asarray(out["output"])
     if not args.no_smooth:
         motions = gaussian_smooth(motions)
