@@ -248,6 +248,46 @@ class TestFusedBlocks:
                 atol=2e-5, rtol=2e-5, err_msg=name,
             )
 
+    @pytest.mark.parametrize("T", [1, 7, 8, 129, 299])
+    @pytest.mark.parametrize("kv_pad", [8, 128])
+    def test_sa_block_shapes_and_padding(self, T, kv_pad):
+        """Odd sequence lengths x both k/v padding multiples: the fused SA
+        kernel must match the unfused reference for every combination."""
+        import mixermdm_tpu.ops.fused_block as FB
+        from mixermdm_tpu.models.layers import layer_norm
+        from mixermdm_tpu.ops.attention import reference_attention
+        from mixermdm_tpu.ops.fused_block import fused_sa_block
+
+        rng = np.random.default_rng(T * 1000 + kv_pad)
+        B, E, H = 2, 256, 2
+        x = jnp.asarray(rng.standard_normal((B, T, E)) * 0.5, jnp.float32)
+        scale = jnp.asarray(0.1 * rng.standard_normal((B, E)), jnp.float32)
+        shift = jnp.asarray(0.1 * rng.standard_normal((B, E)), jnp.float32)
+        wq, bq, wk, bk, wv, bv, wo, bo = self._weights(rng, E)
+        kpm = None
+        if T > 4:
+            m = np.zeros((B, T), bool)
+            m[0, -3:] = True
+            kpm = jnp.asarray(m)
+
+        old = FB.KV_PAD
+        try:
+            FB.KV_PAD = kv_pad
+            out = fused_sa_block(x, scale, shift, wq, bq, wk, bk, wv, bv,
+                                 wo, bo, kpm, n_heads=H, interpret=True)
+        finally:
+            FB.KV_PAD = old
+
+        xn = layer_norm(x, eps=1e-6) * (1.0 + scale[:, None]) + shift[:, None]
+        q, k, v = xn @ wq + bq, xn @ wk + bk, xn @ wv + bv
+        D = E // H
+        to_h = lambda a: a.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+        ref = reference_attention(to_h(q), to_h(k), to_h(v),
+                                  key_padding_mask=kpm, zero_attn=True)
+        ref = ref.transpose(0, 2, 1, 3).reshape(B, T, E) @ wo + bo
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5, rtol=3e-5)
+
     def test_w8a8_quant_close_to_f32(self):
         """W8A8 kernels (int8 MXU path) track the f32 kernels within the
         expected 8-bit quantisation error (~1-2% of activation scale)."""
