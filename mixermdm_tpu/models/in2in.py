@@ -20,7 +20,7 @@ import flax.linen as nn
 
 from .blocks import TransformerBlockDoubleCond
 from .embeddings import PositionalEncoding, TimestepEmbedder
-from .layers import FinalLayer, TorchLinear
+from .layers import FinalLayer, TorchLinear, remat_scan_enabled
 
 
 class _DoubleCondScanBody(nn.Module):
@@ -121,7 +121,8 @@ class In2INDenoiser(nn.Module):
             """
             if self.scan_layers:
                 stack = nn.scan(
-                    nn.remat(_DoubleCondScanBody, prevent_cse=False),
+                    (nn.remat(_DoubleCondScanBody, prevent_cse=False)
+                     if remat_scan_enabled() else _DoubleCondScanBody),
                     variable_axes={"params": 0},
                     split_rngs={"params": True, "dropout": True},
                     in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),

@@ -81,6 +81,46 @@ class w8a8_scope:
         _W8A8 = self.prev
 
 
+# Rematerialise scanned layer bodies (jax.checkpoint).  Pays FLOPs for
+# memory on the DIFFERENTIATED stacks; fused_scope disables it for frozen
+# subgraphs — nothing is differentiated through them, so remat would only
+# force a linearization of (VJP-less) kernels it can never need.
+_REMAT_SCAN: bool = True
+
+
+def remat_scan_enabled() -> bool:
+    return _REMAT_SCAN
+
+
+class fused_scope:
+    """Trace-time re-enable of the fused (VJP-less) kernels inside a
+    FROZEN subgraph of a training trace.
+
+    Trainers disable fused blocks (and pick XLA attention) globally for the
+    differentiated graph — but the mixer's frozen denoisers never need a
+    VJP: their params are not differentiated and their inputs (x_t, t, the
+    stop-gradiented frozen text conds — ``systems.mixermdm.encode_cond``)
+    carry no tangents, mirroring the reference where the frozen submodels'
+    conds come from their own frozen encoders (mixermdm.py:62-65,340-356).
+    Attention goes back to "auto" (Pallas on TPU, XLA on CPU tests) and
+    scan-remat turns off (no residuals are ever saved for frozen stacks)."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+
+    def __enter__(self):
+        global _FUSED_BLOCKS, _PALLAS_ATTENTION, _REMAT_SCAN
+        self.prev = (_FUSED_BLOCKS, _PALLAS_ATTENTION, _REMAT_SCAN)
+        if self.enabled:
+            _FUSED_BLOCKS = True
+            _PALLAS_ATTENTION = None
+            _REMAT_SCAN = False
+
+    def __exit__(self, *exc):
+        global _FUSED_BLOCKS, _PALLAS_ATTENTION, _REMAT_SCAN
+        _FUSED_BLOCKS, _PALLAS_ATTENTION, _REMAT_SCAN = self.prev
+
+
 def use_pallas_attention() -> bool:
     if _PALLAS_ATTENTION is not None:
         return _PALLAS_ATTENTION

@@ -156,9 +156,15 @@ def make_mixer_forward(
         x1_i1 = x1[..., :F]
         x1_i2 = x1[..., F:]
 
-        cond1_1 = cond[:, sl["cond1_1"][0] : sl["cond1_1"][1]]
-        cond1_2 = cond[:, sl["cond1_2"][0] : sl["cond1_2"][1]]
-        cond2 = cond[:, sl["cond2"][0] : sl["cond2"][1]]
+        # The frozen denoisers' cond slices come from the FROZEN submodels'
+        # text encoders (reference mixermdm.py:62-65 + generate_cond) — the
+        # stop_gradient here makes that symbolically true again after the
+        # concat with the trainable mixer slices, so no tangents (and hence
+        # no VJPs) ever reach the frozen denoisers in training traces.
+        from jax.lax import stop_gradient as sg
+        cond1_1 = sg(cond[:, sl["cond1_1"][0] : sl["cond1_1"][1]])
+        cond1_2 = sg(cond[:, sl["cond1_2"][0] : sl["cond1_2"][1]])
+        cond2 = sg(cond[:, sl["cond2"][0] : sl["cond2"][1]])
         cond_I = cond[:, sl["cond_I"][0] : sl["cond_I"][1]]
         cond_i1 = cond[:, sl["cond_i1"][0] : sl["cond_i1"][1]]
         cond_i2 = cond[:, sl["cond_i2"][0] : sl["cond_i2"][1]]

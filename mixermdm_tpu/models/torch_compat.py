@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import TorchLinear, TorchMultiheadAttention
+from .layers import TorchLinear, TorchMultiheadAttention, remat_scan_enabled
 
 
 class LayerNormAffine(nn.Module):
@@ -95,7 +95,8 @@ class TorchEncoder(nn.Module):
     def __call__(self, x, key_padding_mask=None, attn_mask=None, train: bool = False):
         if self.scan_layers:
             stack = nn.scan(
-                nn.remat(_EncoderScanBody, prevent_cse=False),
+                (nn.remat(_EncoderScanBody, prevent_cse=False)
+                     if remat_scan_enabled() else _EncoderScanBody),
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast),

@@ -125,18 +125,22 @@ class In2INSystem:
             params[f"denoiser_{name}"] = d.init(rngs[1 + i], x, t, None, cond)["params"]
         return params
 
-    def denoiser_apply(self, name: str, cast: bool = False, quant: bool = False):
+    def denoiser_apply(self, name: str, cast: bool = False, quant: bool = False,
+                       frozen: bool = False):
         """Bound apply fn; ``cast`` runs the transformer in ``compute_dtype``
         (bf16 on TPU) with f32 in/out at the boundary.  ``quant`` traces the
-        call inside a W8A8 scope: the fused-block projections run int8 on
-        the MXU — for FROZEN denoisers at sampling time only."""
+        call inside a W8A8 scope (int8 fused-block projections on the MXU);
+        ``frozen`` re-enables the fused (VJP-less) kernels even inside a
+        training trace — legal because no gradients ever flow through the
+        mixer's frozen denoisers (see ``models.layers.fused_scope``)."""
         d = self.denoisers[name]
         cd = self.compute_dtype if cast else None
 
         def apply(p, x, t, mask, cond, train=False, rngs=None):
-            from ..models.layers import w8a8_scope
+            from ..models.layers import fused_scope, w8a8_scope
 
-            with w8a8_scope(quant and not train):
+            with fused_scope(frozen and not train), \
+                 w8a8_scope(quant and not train):
                 if cd is not None:
                     out = d.apply({"params": p}, x.astype(cd), t, mask,
                                   cond.astype(cd), train=train, rngs=rngs)

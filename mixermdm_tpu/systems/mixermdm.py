@@ -37,16 +37,16 @@ from .in2in import In2INSystem, generate_src_mask
 from .text import TextPipeline
 
 
-def _maybe_quant(inner, quant: bool):
-    """Wrap a bound denoiser apply in the W8A8 trace-time scope (int8
-    fused-block projections for frozen denoisers at sampling time)."""
-    if not quant:
-        return inner
+def _maybe_quant(inner, quant: bool, frozen: bool = True):
+    """Wrap a bound denoiser apply in the frozen-fused and (optional) W8A8
+    trace-time scopes — the adapters' submodels are frozen by construction,
+    so the VJP-less fused kernels are always legal for them."""
 
     def apply(p, x, t, mask, cond, train=False, rngs=None):
-        from ..models.layers import w8a8_scope
+        from ..models.layers import fused_scope, w8a8_scope
 
-        with w8a8_scope(not train):
+        with fused_scope(frozen and not train), \
+             w8a8_scope(quant and not train):
             return inner(p, x, t, mask, cond, train=train, rngs=rngs)
 
     return apply
@@ -74,9 +74,10 @@ class MDMAsIndividual:
             "embed_text": p["embed_text"],
         }
 
-    def denoiser_apply(self, name: str, cast: bool = False, quant: bool = False):
+    def denoiser_apply(self, name: str, cast: bool = False, quant: bool = False,
+                       frozen: bool = True):
         inner = self.mdm.denoiser_apply(cast)
-        return _maybe_quant(inner, quant)
+        return _maybe_quant(inner, quant, frozen)
 
     def text_process(self, params, texts, mode="individual"):
         return self.mdm.text_process(
@@ -105,8 +106,9 @@ class InterGenAsInteraction:
         p = self.intergen.init_params(rng)
         return {"denoiser_interaction": p["denoiser"], "text": p["text"]}
 
-    def denoiser_apply(self, name: str, cast: bool = False, quant: bool = False):
-        return _maybe_quant(self.intergen.denoiser_apply(cast), quant)
+    def denoiser_apply(self, name: str, cast: bool = False, quant: bool = False,
+                       frozen: bool = True):
+        return _maybe_quant(self.intergen.denoiser_apply(cast), quant, frozen)
 
     def text_process(self, params, texts, mode="interaction"):
         return self.text.encode_texts(params["text"], texts, head="interaction")
@@ -239,8 +241,10 @@ class MixerMDMSystem:
         self.quant_frozen = bool(self.cfg.get("QUANT_FROZEN", False))
         self._mixer_forward = make_mixer_forward(
             self.mixer_cfg,
-            self.model1.denoiser_apply("individual", quant=self.quant_frozen),
-            self.model2.denoiser_apply("interaction", quant=self.quant_frozen),
+            self.model1.denoiser_apply("individual", quant=self.quant_frozen,
+                                       frozen=True),
+            self.model2.denoiser_apply("interaction", quant=self.quant_frozen,
+                                       frozen=True),
             lambda p, *args, train=False, rngs=None: self.core.apply(
                 {"params": p}, *args, train=train, rngs=rngs
             ),

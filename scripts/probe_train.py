@@ -1,0 +1,105 @@
+"""Differential probes for the full-size G+D training step.
+
+Same DCE trick as scripts/probe_step.py: replace a stage's output with
+constants (jnp.full_like uses only shape/dtype) so XLA dead-code-eliminates
+the stage, and the timing delta against baseline is its true share.
+
+Modes:
+  baseline      full fused G+D step
+  gonly         generator step only
+  donly         discriminator step only
+  nodenoisers   frozen in2IN denoiser forwards DCE'd (mixer stays live)
+  nonets        entire mixer forward DCE'd (denoisers + mixer + influence)
+
+Usage: python scripts/probe_train.py [mode]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "baseline"
+
+    from mixermdm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import mixermdm_tpu.systems.mixermdm as SM
+
+    orig = SM.make_mixer_forward
+
+    if which == "nodenoisers":
+        def patched(cfg, a1, a2, core_apply, n1, n2, **kw):
+            def const(inner):
+                def f(p, x, t, mask, cond, train=False, rngs=None):
+                    out = inner(p, x, t, mask, cond, train=train, rngs=rngs)
+                    return jax.tree_util.tree_map(
+                        lambda a: jnp.full_like(a, 0.1), out)
+                return f
+
+            return orig(cfg, const(a1), const(a2), core_apply, n1, n2, **kw)
+
+        SM.make_mixer_forward = patched
+    elif which == "nonets":
+        def patched(cfg, a1, a2, core_apply, n1, n2, **kw):
+            f = orig(cfg, a1, a2, core_apply, n1, n2, **kw)
+
+            def wrapper(*args, **k):
+                out = f(*args, **k)
+                return jax.tree_util.tree_map(
+                    lambda a: jnp.full_like(a, 0.1), out)
+
+            return wrapper
+
+        SM.make_mixer_forward = patched
+
+    from bench import build_system
+    from mixermdm_tpu.train.trainer import MixerTrainer
+
+    B, T = 32, 300
+    system = build_system()
+    params = system.init_params(jax.random.PRNGKey(0))
+    trainer = MixerTrainer(system, grad_acc_steps=2, discriminator_steps=1,
+                           donate=True)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "motions": jnp.asarray(rng.normal(size=(B, T, 2 * 262)), jnp.float32),
+        "motion_lens": jnp.asarray(rng.integers(T // 2, T, size=(B,)), jnp.int32),
+        "tokens_inter": jnp.asarray(rng.integers(0, 100, size=(B, 77)), jnp.int32),
+        "tokens_i1": jnp.asarray(rng.integers(0, 100, size=(B, 77)), jnp.int32),
+        "tokens_i2": jnp.asarray(rng.integers(0, 100, size=(B, 77)), jnp.int32),
+    }
+
+    def one(st, key):
+        if which == "gonly":
+            st, losses = trainer.generator_step(st, batch, key)
+            return st, losses
+        if which == "donly":
+            st, losses = trainer.discriminator_step(st, batch, key)
+            return st, losses
+        st, g, d = trainer.fit_step(st, batch, key, 0)
+        return st, g
+
+    st = trainer.init_state(params)
+    st, losses = one(st, jax.random.PRNGKey(1))
+    jax.block_until_ready(losses["total"])
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        st, losses = one(st, jax.random.PRNGKey(2 + i))
+        jax.block_until_ready(losses["total"])
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    print(f"{which}: {best*1e3:.1f} ms/step")
+
+
+if __name__ == "__main__":
+    main()

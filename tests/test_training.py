@@ -161,6 +161,104 @@ class TestScheduleSamplerWiring:
         sys_u = tiny_mixer()
         assert sys_u._sampler_state0 is None     # uniform: trivial state
 
+    def test_frozen_fused_denoisers_grads_match(self):
+        """Training with the fused (VJP-less) kernels enabled for the FROZEN
+        denoisers must produce the same G/D gradients as the all-XLA path —
+        no gradients flow through the frozen submodels (their conds are
+        stop-gradiented), so the missing VJPs are never needed."""
+        import mixermdm_tpu.ops.attention as A
+        import mixermdm_tpu.ops.fused_block as FB
+        from mixermdm_tpu.config import Config, tiny_config
+        from mixermdm_tpu.models import layers as L
+        from mixermdm_tpu.systems import In2INSystem, MixerMDMSystem
+        from mixermdm_tpu.train.trainer import MixerTrainer
+
+        # Denoisers at E=128 so the fused path is eligible (E % 128 == 0);
+        # bf16 compute so the dtype gate passes on the CPU backend.
+        base = tiny_config(latent=128, layers=1, heads=2, diffusion_steps=8)
+        m1 = In2INSystem(base, mode="individual", clip_cfg=ClipTextConfig.tiny())
+        m2 = In2INSystem(base, mode="interaction", clip_cfg=ClipTextConfig.tiny())
+        mcfg = Config.wrap({
+            "NAME": "MixerMDM",
+            "GENERATOR": {"NUM_LAYERS": 1, "NUM_HEADS": 2, "DROPOUT": 0.0,
+                          "INPUT_DIM": 262, "LATENT_DIM": 32, "FF_SIZE": 64},
+            "DISCRIMINATOR": {"NUM_LAYERS": 1, "NUM_HEADS": 2, "DROPOUT": 0.0,
+                              "INPUT_DIM": 262, "LATENT_DIM": 32, "FF_SIZE": 64},
+            "DIFFUSION_STEPS": 8, "BETA_SCHEDULER": "cosine", "SAMPLER": "uniform",
+            "MOTION_REP": "global", "T_BAR": 4, "STRATEGY": "ddim4",
+            "CFG_WEIGHT": 3.5, "MIXING_MODE": 4, "FORCE_INFLUENCE_VAL": None,
+        })
+        sys_ = MixerMDMSystem(mcfg, model1=m1, model2=m2,
+                              clip_cfg=ClipTextConfig.tiny(),
+                              compute_dtype="bf16")
+        params = sys_.init_params(jax.random.PRNGKey(0))
+        # Zero-init output layers give zero adversarial grads — perturb.
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(99), len(leaves))
+        params = jax.tree_util.tree_unflatten(
+            treedef,
+            [l + 0.03 * jax.random.normal(k, l.shape, l.dtype)
+             for l, k in zip(leaves, keys)],
+        )
+        B, T = 2, 12
+        ctx = sys_.text.clip_cfg.context_length
+        batch = {
+            "motions": jax.random.normal(jax.random.PRNGKey(1), (B, T, 524)) * 0.1,
+            "motion_lens": jnp.asarray([T, T - 2]),
+            "tokens_inter": jnp.zeros((B, ctx), jnp.int32),
+            "tokens_i1": jnp.zeros((B, ctx), jnp.int32),
+            "tokens_i2": jnp.zeros((B, ctx), jnp.int32),
+        }
+
+        def grads(mode):
+            trainer = MixerTrainer(sys_, grad_acc_steps=1, lr=1e-3)
+            state = trainer.init_state(params)
+            step = (trainer.generator_step if mode == "generator"
+                    else trainer.discriminator_step)
+            new_state, _ = step(state, batch, jax.random.PRNGKey(5))
+            return jax.tree_util.tree_map(
+                lambda a, b: np.asarray(b, np.float32) - np.asarray(a, np.float32),
+                state.params, new_state.params,
+            )
+
+        class _NoScope:
+            def __init__(self, *a, **k):
+                pass
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                return False
+
+        old_a, old_fb = A.FORCE_INTERPRET, FB.FORCE_INTERPRET
+        old_scope = L.fused_scope
+        # use_pallas_attention() is False on CPU; force the fused path inside
+        # the frozen scopes via interpret-mode kernels.
+        A.FORCE_INTERPRET = FB.FORCE_INTERPRET = True
+        old_auto = L.use_pallas_attention
+        try:
+            L.use_pallas_attention = lambda: L._PALLAS_ATTENTION is not False
+            updates_fused = {m: grads(m) for m in ("generator", "discriminator")}
+            L.fused_scope = _NoScope          # baseline: scopes disabled
+            L.use_pallas_attention = old_auto  # pure-XLA everywhere
+            updates_xla = {m: grads(m) for m in ("generator", "discriminator")}
+        finally:
+            A.FORCE_INTERPRET, FB.FORCE_INTERPRET = old_a, old_fb
+            L.fused_scope = old_scope
+            L.use_pallas_attention = old_auto
+
+        for mode in ("generator", "discriminator"):
+            fl, _ = jax.tree_util.tree_flatten(updates_fused[mode])
+            xl, _ = jax.tree_util.tree_flatten(updates_xla[mode])
+            total = sum(float(np.abs(x).sum()) for x in xl)
+            assert total > 0, f"{mode}: no parameter movement"
+            for f, x in zip(fl, xl):
+                np.testing.assert_allclose(
+                    f, x, atol=2e-2, rtol=2e-2,
+                    err_msg=f"{mode} grads diverge between fused-frozen and XLA",
+                )
+
     def test_cosine_warmup_schedule_drives_lr(self):
         from mixermdm_tpu.train.optim import cosine_warmup_schedule
 
