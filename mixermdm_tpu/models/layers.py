@@ -68,13 +68,18 @@ def _w8a8_for(latent_dim: int) -> bool:
 
 
 class w8a8_scope:
+    """Enable-only scope: ``w8a8_scope(False)`` leaves the current state
+    untouched (so an inner call site with quant off cannot cancel an outer
+    whole-trace quant scope)."""
+
     def __init__(self, enabled: bool = True):
         self.enabled = enabled
 
     def __enter__(self):
         global _W8A8
         self.prev = _W8A8
-        _W8A8 = self.enabled
+        if self.enabled:
+            _W8A8 = True
 
     def __exit__(self, *exc):
         global _W8A8

@@ -241,10 +241,11 @@ class MixerMDMSystem:
         self.quant_frozen = bool(self.cfg.get("QUANT_FROZEN", False))
         self._mixer_forward = make_mixer_forward(
             self.mixer_cfg,
-            self.model1.denoiser_apply("individual", quant=self.quant_frozen,
-                                       frozen=True),
-            self.model2.denoiser_apply("interaction", quant=self.quant_frozen,
-                                       frozen=True),
+            # quant rides the SAMPLING whole-trace scope (_sample_impl), so
+            # QUANT_FROZEN never alters the TRAINING signal; `frozen` (fused
+            # kernels, no remat) is legal in both.
+            self.model1.denoiser_apply("individual", frozen=True),
+            self.model2.denoiser_apply("interaction", frozen=True),
             lambda p, *args, train=False, rngs=None: self.core.apply(
                 {"params": p}, *args, train=train, rngs=rngs
             ),
