@@ -52,9 +52,16 @@ class TextPipeline:
         )
 
     def clip_features(self, params: dict, tokens) -> jnp.ndarray:
-        """Frozen CLIP token features (stop-gradient, as upstream no_grad)."""
-        feats = self.clip.apply({"params": params["clip"]}, tokens)
-        return jax.lax.stop_gradient(feats)
+        """Frozen CLIP token features (reference runs the tower under
+        ``torch.no_grad()``, mixermdm.py:296).
+
+        The stop_gradient goes on the PARAMS, not just the output: the tower
+        weights live inside the trainable "text" subtree, and tangent-
+        carrying params would make JAX linearize (and remat-recompute) the
+        whole 12-layer tower in every backward only to produce zero
+        gradients."""
+        clip_params = jax.lax.stop_gradient(params["clip"])
+        return self.clip.apply({"params": clip_params}, tokens)
 
     def encode(self, params: dict, tokens, head: str = "default",
                train: bool = False, rngs=None) -> jnp.ndarray:

@@ -48,7 +48,21 @@ class MixerTrainState(NamedTuple):
 
 
 def _subset(params: dict, keys) -> dict:
-    return {k: params[k] for k in keys}
+    """Trainable subtree extraction.  Within a "text" pipeline subtree only
+    the post-encoder heads train — the CLIP tower is frozen (the reference's
+    generator optimizer lists only positional_embedding/clipTransEncoder/
+    clip_ln, scripts/train/mixermdm.py:67-71; elsewhere torch's AdamW skips
+    grad-less frozen params).  Excluding it here avoids ~700 MB of Adam
+    moments for the tower AND stops AdamW weight decay from eroding frozen
+    CLIP weights."""
+    out = {}
+    for k in keys:
+        v = params[k]
+        if k == "text" and isinstance(v, dict) and "clip" in v:
+            out[k] = {n: p for n, p in v.items() if n != "clip"}
+        else:
+            out[k] = v
+    return out
 
 
 def _trace_train_grads(loss_fn, train_params):
@@ -71,7 +85,12 @@ def _trace_train_grads(loss_fn, train_params):
 
 def _merge(params: dict, sub: dict) -> dict:
     out = dict(params)
-    out.update(sub)
+    for k, v in sub.items():
+        base = params.get(k)
+        if k == "text" and isinstance(base, dict) and "clip" in base:
+            out[k] = {**base, **v}
+        else:
+            out[k] = v
     return out
 
 

@@ -259,6 +259,42 @@ class TestScheduleSamplerWiring:
                     err_msg=f"{mode} grads diverge between fused-frozen and XLA",
                 )
 
+    def test_clip_tower_excluded_from_optimizer(self):
+        """The frozen CLIP tower must not be in the optimizer: the reference
+        generator optimizer lists only the post-encoders (mixermdm.py /
+        scripts/train/mixermdm.py:67-71), and AdamW weight decay would
+        otherwise erode frozen weights with zero gradients."""
+        cfg = tiny_config(latent=32, layers=1, heads=2, diffusion_steps=8)
+        sys_ = In2INSystem(cfg, mode="interaction", clip_cfg=ClipTextConfig.tiny())
+        trainer = BaseTrainer(sys_, lr=1e-2, weight_decay=0.1)
+        params = sys_.init_params(jax.random.PRNGKey(0))
+        state = trainer.init_state(params)
+        tower_before = jax.tree_util.tree_map(np.asarray, params["text"]["clip"])
+
+        B, T = 2, 12
+        ctx = sys_.text.clip_cfg.context_length
+        batch = {
+            "motions": jax.random.normal(jax.random.PRNGKey(1), (B, T, 524)) * 0.1,
+            "motion_lens": jnp.asarray([T, T]),
+            "tokens": jnp.zeros((B, ctx), jnp.int32),
+            "tokens_i1": jnp.zeros((B, ctx), jnp.int32),
+            "tokens_i2": jnp.zeros((B, ctx), jnp.int32),
+        }
+        for i in range(2):
+            state, _ = trainer.step(state, batch, jax.random.PRNGKey(5 + i))
+        tower_after = state.params["text"]["clip"]
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+            tower_before, tower_after,
+        )
+        # ...while the trainable post-encoder head DID move.
+        head = [k for k in state.params["text"] if k.startswith("post_")][0]
+        moved = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).sum()),
+            params["text"][head], state.params["text"][head],
+        )
+        assert sum(jax.tree_util.tree_leaves(moved)) > 0
+
     def test_cosine_warmup_schedule_drives_lr(self):
         from mixermdm_tpu.train.optim import cosine_warmup_schedule
 
