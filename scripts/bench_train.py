@@ -61,8 +61,12 @@ def main(argv=None):
 
     def time_steps(label):
         # The train state is DONATED into the step, so thread it like a
-        # real training loop (never reuse a consumed state).
-        st = trainer.init_state(params)
+        # real training loop (never reuse a consumed state) — and give each
+        # run its own device copy of the params (donation would otherwise
+        # delete the shared buffers between --compare runs).
+        import jax as _jax
+
+        st = trainer.init_state(_jax.tree_util.tree_map(jnp.array, params))
         key = jax.random.PRNGKey(1)
         st, g, d = trainer.fit_step(st, batch, key, 0)   # compile
         jax.block_until_ready(g["total"])

@@ -47,6 +47,18 @@ def main():
             return orig(cfg, const(a1), const(a2), core_apply, n1, n2, **kw)
 
         SM.make_mixer_forward = patched
+    elif which == "noinfluence":
+        # Constant influence-net output: DCEs only the (differentiated)
+        # influence core; denoisers, blend, align, discs stay live.
+        def patched(cfg, a1, a2, core_apply, n1, n2, **kw):
+            def const_core(p, *args, train=False, rngs=None):
+                out = core_apply(p, *args, train=train, rngs=rngs)
+                return jax.tree_util.tree_map(
+                    lambda a: jnp.full_like(a, 0.5), out)
+
+            return orig(cfg, a1, a2, const_core, n1, n2, **kw)
+
+        SM.make_mixer_forward = patched
     elif which == "nonets":
         def patched(cfg, a1, a2, core_apply, n1, n2, **kw):
             f = orig(cfg, a1, a2, core_apply, n1, n2, **kw)
