@@ -36,6 +36,11 @@ class TextPipeline:
         self.heads = tuple(heads)
         self.post = {h: ClipPostEncoder(d_model=self.clip_cfg.width) for h in self.heads}
         self.tokenizer = default_tokenizer()
+        # The released CLIP text towers are fp16 (the reference runs them in
+        # `self.dtype` = half); bf16 on TPU matches that regime.  f32 on CPU.
+        self.compute_dtype = (
+            jnp.bfloat16 if jax.default_backend() == "tpu" else None
+        )
 
     def init_params(self, rng: jax.Array) -> dict:
         tokens = jnp.zeros((1, self.clip_cfg.context_length), jnp.int32)
@@ -59,8 +64,19 @@ class TextPipeline:
         weights live inside the trainable "text" subtree, and tangent-
         carrying params would make JAX linearize (and remat-recompute) the
         whole 12-layer tower in every backward only to produce zero
-        gradients."""
+        gradients.  On TPU the tower computes in bf16 — reference parity:
+        the released OpenAI CLIP towers run fp16 (`.type(self.dtype)`,
+        mixermdm.py:298).  Pallas attention measured slightly SLOWER here
+        (T=77 heads are grid-overhead-bound), so the tower stays on XLA."""
         clip_params = jax.lax.stop_gradient(params["clip"])
+        if self.compute_dtype is not None:
+            clip_params = jax.tree_util.tree_map(
+                lambda a: a.astype(self.compute_dtype)
+                if a.dtype == jnp.float32 else a,
+                clip_params,
+            )
+            feats = self.clip.apply({"params": clip_params}, tokens)
+            return feats.astype(jnp.float32)
         return self.clip.apply({"params": clip_params}, tokens)
 
     def encode(self, params: dict, tokens, head: str = "default",
