@@ -60,3 +60,23 @@ class TestCLISmoke:
             sys.argv = old
         assert rc == 0
         assert "infer-mixermdm" in capsys.readouterr().out
+
+
+class TestShippedConfigs:
+    def test_yaml_configs_build_full_system(self):
+        """The shipped configs/ tree (reference schema) must parse and build
+        the full-size system graph (no device compute)."""
+        import os
+
+        from mixermdm_tpu.cli.infer_mixermdm import build_system
+        from mixermdm_tpu.config import get_config
+
+        root = os.path.join(os.path.dirname(__file__), "..")
+        for rel in ("configs/models/MixerMDM.yaml", "configs/models/in2IN.yaml",
+                    "configs/models/individual.yaml", "configs/train/MixerMDM.yaml"):
+            get_config(os.path.join(root, rel))
+        os.chdir(root)  # MODEL1/MODEL2 paths are repo-relative
+        system = build_system("configs/models/MixerMDM.yaml")
+        assert float(system.cfg_weight) == 3.5
+        assert system.quant_frozen is False
+        assert int(system.cfg.GENERATOR.LATENT_DIM) == 512
