@@ -120,7 +120,12 @@ def main(argv=None):
     logger = MetricLogger(log_every=10)
 
     step = int(state.step)
-    for epoch in range(args.epochs):
+    # Fast-forward the epoch counter on resume (ADVICE r2 medium) — see
+    # cli/train_mixermdm.py for the failure mode this prevents.
+    start_epoch = min(step // max(1, len(loader)), args.epochs)
+    if start_epoch:
+        print(f"resume: step {step} -> starting at epoch {start_epoch}/{args.epochs}")
+    for epoch in range(start_epoch, args.epochs):
         for batch in loader:
             tokens = {"tokens": np.asarray(system.text.tokenize(batch["text"]))} \
                 if hasattr(system, "text") else {}

@@ -103,7 +103,14 @@ def main(argv=None):
     from ..train.checkpoint import save_train_state
 
     step = int(state.step)
-    for epoch in range(epochs):
+    # Fast-forward the epoch counter on resume (ADVICE r2 medium): a restored
+    # state carries the global step, and restarting at epoch 0 would both
+    # overtrain past the configured total and re-save epoch_{1..N}_state with
+    # restarted numbering (making --resume auto later pick a stale file).
+    start_epoch = min(step // max(1, len(loader)), epochs)
+    if start_epoch:
+        print(f"resume: step {step} -> starting at epoch {start_epoch}/{epochs}")
+    for epoch in range(start_epoch, epochs):
         for batch_idx, batch in enumerate(loader):
             toks = system.tokenize_batch(batch)
             dev_batch = shard_batch(

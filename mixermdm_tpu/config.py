@@ -43,11 +43,43 @@ class Config(dict):
         return out
 
 
+def _coerce_scalar(v: Any) -> Any:
+    """yacs-style scalar decoding for string YAML values.
+
+    The reference loads configs through yacs, whose ``_decode_cfg_value``
+    runs ``ast.literal_eval`` on string scalars so ``None`` / ``(1, 2)`` /
+    ``1e-5`` written unquoted-but-stringly in YAML become Python values
+    (yacs config.py).  ``yaml.safe_load`` alone leaves ``None`` as the
+    *string* "None" (YAML's null spelling is ``null``/``~``), which made the
+    shipped ``FORCE_INFLUENCE_VAL: None`` crash at sampling.  Mirror yacs:
+    try literal_eval, keep the string on failure.
+    """
+    if not isinstance(v, str):
+        return v
+    import ast
+
+    try:
+        out = ast.literal_eval(v)
+    except (ValueError, SyntaxError):
+        return v
+    # literal_eval succeeds for quoted-string-looking things too; only accept
+    # non-str results (yacs keeps strings as-is in that case as well).
+    return v if isinstance(out, str) else out
+
+
+def _coerce_tree(obj: Any) -> Any:
+    if isinstance(obj, dict):
+        return {k: _coerce_tree(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_coerce_tree(v) for v in obj]
+    return _coerce_scalar(obj)
+
+
 def load_yaml(path: str) -> Config:
     import yaml
 
     with open(path) as f:
-        return Config.wrap(yaml.safe_load(f))
+        return Config.wrap(_coerce_tree(yaml.safe_load(f)))
 
 
 def get_config(path: str) -> Config:

@@ -32,6 +32,13 @@ def collate(samples: list[dict]) -> dict:
     return out
 
 
+class _WorkerError:
+    """Envelope carrying a worker-thread exception to the consumer thread."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class DataLoader:
     """Shuffling, batching, prefetching iterator over a random-access dataset.
 
@@ -87,10 +94,16 @@ class DataLoader:
             return batch
 
         if self.num_workers == 1:
+            # Worker exceptions (corrupt sample, transform error) are shipped
+            # to the consumer and re-raised there — a dying daemon thread must
+            # not leave the consumer blocked forever (ADVICE r2 low).
             def produce(q):
-                for b in batches:
-                    q.put(make(b))
-                q.put(None)
+                try:
+                    for b in batches:
+                        q.put(make(b))
+                    q.put(None)
+                except BaseException as e:  # noqa: BLE001 — relayed, not swallowed
+                    q.put(_WorkerError(e))
 
             q: queue.Queue = queue.Queue(maxsize=max(1, self.prefetch))
             t = threading.Thread(target=produce, args=(q,), daemon=True)
@@ -99,6 +112,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, _WorkerError):
+                    raise batch.exc
                 yield batch
             return
 
@@ -118,7 +133,16 @@ class DataLoader:
                     i, b = task_q.get_nowait()
                 except queue.Empty:
                     return
-                batch = make(b)
+                try:
+                    batch = make(b)
+                except BaseException as e:  # noqa: BLE001 — relayed to consumer
+                    # Store the error at this slot so the consumer re-raises
+                    # instead of waiting forever for an index that will never
+                    # arrive (ADVICE r2 low).
+                    with done_cv:
+                        done[i] = _WorkerError(e)
+                        done_cv.notify_all()
+                    continue
                 with done_cv:
                     # Bounded prefetch: don't run more than `prefetch`
                     # batches ahead of the consumer.
@@ -139,4 +163,6 @@ class DataLoader:
                 batch = done.pop(i)
                 self._next = i + 1
                 done_cv.notify_all()
+            if isinstance(batch, _WorkerError):
+                raise batch.exc
             yield batch

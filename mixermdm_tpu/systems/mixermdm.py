@@ -222,7 +222,11 @@ class MixerMDMSystem:
         self.normalizer2 = normalizer2 if normalizer2 is not None else interhuman_normalizer(data_root)
 
         self.cfg_weight = float(self.cfg.CFG_WEIGHT)
-        self.force_influence_val = self.cfg.get("FORCE_INFLUENCE_VAL", None)
+        # Defensive double-guard against the yaml "None"-as-string hazard
+        # (config.load_yaml already literal_evals like yacs, but configs can
+        # also be constructed programmatically).
+        fiv = self.cfg.get("FORCE_INFLUENCE_VAL", None)
+        self.force_influence_val = None if fiv in (None, "None", "") else float(fiv)
 
         # bf16 transformer compute on TPU (MXU-native); f32 elsewhere.  The
         # diffusion arithmetic + quaternion alignment always stay f32.
@@ -402,7 +406,8 @@ class MixerMDMSystem:
     _FIV_FROM_CONFIG = object()  # sentinel: "use self.force_influence_val"
 
     def sample(self, params, cond, n_frames: int, rng, collect_influence: bool = False,
-               force_influence_val=_FIV_FROM_CONFIG):
+               force_influence_val=_FIV_FROM_CONFIG,
+               traj_control=None, skip_timesteps: int = 0, init_image=None):
         """Full dual-stream CFG DDIM chain (mixermdm.py:490-548).
 
         Returns raw-motion (B, T, 524) output; with ``collect_influence`` also
@@ -417,28 +422,36 @@ class MixerMDMSystem:
                if force_influence_val is MixerMDMSystem._FIV_FROM_CONFIG
                else force_influence_val)
         B = cond.shape[0]
-        key = (B, n_frames, collect_influence, fiv is None)
+        key = (B, n_frames, collect_influence, fiv is None, int(skip_timesteps),
+               traj_control is None, init_image is None)
         if key not in self._jit_sample:
             self._jit_sample[key] = jax.jit(
                 partial(self._sample_impl, n_frames=n_frames,
                         collect_influence=collect_influence,
-                        use_fiv=fiv is not None)
+                        use_fiv=fiv is not None,
+                        skip_timesteps=int(skip_timesteps))
             )
         fiv_val = jnp.float32(0.0 if fiv is None else fiv)
-        return self._jit_sample[key](params, cond, rng, fiv_val)
+        return self._jit_sample[key](params, cond, rng, fiv_val,
+                                     traj_control, init_image)
 
-    def _sample_impl(self, params, cond, rng, fiv_val, *, n_frames,
-                     collect_influence, use_fiv):
+    def _sample_impl(self, params, cond, rng, fiv_val, traj_control=None,
+                     init_image=None, *, n_frames, collect_influence, use_fiv,
+                     skip_timesteps: int = 0):
         from ..models.layers import w8a8_scope
 
         with w8a8_scope(self.quant_frozen):
             return self._sample_body(params, cond, rng, fiv_val,
                                      n_frames=n_frames,
                                      collect_influence=collect_influence,
-                                     use_fiv=use_fiv)
+                                     use_fiv=use_fiv,
+                                     traj_control=traj_control,
+                                     init_image=init_image,
+                                     skip_timesteps=skip_timesteps)
 
     def _sample_body(self, params, cond, rng, fiv_val, *, n_frames,
-                     collect_influence, use_fiv):
+                     collect_influence, use_fiv, traj_control=None,
+                     init_image=None, skip_timesteps: int = 0):
         """At sampling time EVERY network is frozen, so under QUANT_FROZEN
         the whole trace (mixer/influence core included, not just the in2IN
         denoisers) runs its fused-block projections as int8 on the MXU."""
@@ -471,6 +484,8 @@ class MixerMDMSystem:
             model, self.sample_schedule, (B, n_frames, self.nfeats * 2), rng, cond,
             normalizer1=self.normalizer1, normalizer2=self.normalizer2,
             align=self.align, nfeats=self.nfeats, collect_influence=collect_influence,
+            traj_control=traj_control, skip_timesteps=skip_timesteps,
+            init_image=init_image,
         )
 
     def forward(self, params, batch: dict, rng):

@@ -52,8 +52,14 @@ def save_train_state(path: str, state) -> None:
 
 
 def latest_train_state_path(out_dir: str):
-    """Newest ``*_state`` checkpoint under ``out_dir`` (``--resume auto``):
-    ``final_state`` wins, else the highest ``epoch_N_state``."""
+    """Newest ``*_state`` checkpoint under ``out_dir`` (``--resume auto``).
+
+    Ranked by modification time, NOT by the epoch number in the filename: a
+    resumed-then-re-preempted job may have saved a higher-numbered but OLDER
+    file from before the first preemption, and picking it would silently
+    discard the newer progress (ADVICE r2 medium).  Ties (same mtime
+    granularity) break toward ``final_state`` then the higher epoch number.
+    """
     import glob
     import re
 
@@ -61,9 +67,11 @@ def latest_train_state_path(out_dir: str):
 
     def rank(p):
         if p.endswith("final_state"):
-            return (2, 0)
-        m = re.search(r"epoch_(\d+)_state$", p)
-        return (1, int(m.group(1))) if m else (0, 0)
+            name_rank = (2, 0)
+        else:
+            m = re.search(r"epoch_(\d+)_state$", p)
+            name_rank = (1, int(m.group(1))) if m else (0, 0)
+        return (os.path.getmtime(p), *name_rank)
 
     return max(cands, key=rank) if cands else None
 

@@ -73,9 +73,9 @@ def process_motion_interhuman(
 
     r_hip, l_hip, _, _ = FACE_JOINT_INDX
     across = root_pos_init[r_hip] - root_pos_init[l_hip]
-    across = across / np.sqrt((across**2).sum(axis=-1))[..., np.newaxis]
+    across = across / np.sqrt((across**2).sum(axis=-1) + 1e-12)[..., np.newaxis]
     forward_init = np.cross(np.array([[0, 1, 0]]), across, axis=-1)
-    forward_init = forward_init / np.sqrt((forward_init**2).sum(axis=-1))[..., np.newaxis]
+    forward_init = forward_init / np.sqrt((forward_init**2).sum(axis=-1) + 1e-12)[..., np.newaxis]
 
     target = np.array([[0, 0, 1]])
     root_quat_init = _qbetween_np(forward_init, target)

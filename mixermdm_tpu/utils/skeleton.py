@@ -69,13 +69,13 @@ class Skeleton:
         """(T, J, 3) positions -> (T, J, 4) local quaternions (reference :67-105)."""
         l_hip, r_hip, sdr_r, sdr_l = face_joint_idx
         across = (joints[:, r_hip] - joints[:, l_hip]) + (joints[:, sdr_r] - joints[:, sdr_l])
-        across = across / np.sqrt((across**2).sum(-1))[:, None]
+        across = across / np.sqrt((across**2).sum(-1) + 1e-12)[:, None]
         forward = np.cross(np.array([[0, 1, 0]]), across, axis=-1)
         if smooth_forward:
             from scipy.ndimage import gaussian_filter1d
 
             forward = gaussian_filter1d(forward, 20, axis=0, mode="nearest")
-        forward = forward / np.sqrt((forward**2).sum(-1))[..., None]
+        forward = forward / np.sqrt((forward**2).sum(-1) + 1e-12)[..., None]
 
         target = np.tile(np.array([[0.0, 0.0, 1.0]]), (len(forward), 1))
         root_quat = _qbetween_np(forward, target)
@@ -88,7 +88,7 @@ class Skeleton:
             for j in range(len(chain) - 1):
                 u = np.tile(self.raw_offsets[chain[j + 1]][None], (len(joints), 1)).astype(np.float64)
                 v = joints[:, chain[j + 1]] - joints[:, chain[j]]
-                v = v / np.sqrt((v**2).sum(-1))[:, None]
+                v = v / np.sqrt((v**2).sum(-1) + 1e-12)[:, None]
                 rot_u_v = _qbetween_np(u, v)
                 R_loc = _qmul_np(_qinv_np(R), rot_u_v)
                 quat_params[:, chain[j + 1]] = R_loc

@@ -92,6 +92,27 @@ class TestLoader:
         names2 = [tuple(b["name"]) for b in dl]
         assert names1 != names2  # different epoch order (overwhelmingly likely)
 
+    def test_worker_exception_propagates(self, ih_root):
+        """A transform that raises must surface in the consumer instead of
+        hanging the iterator (ADVICE r2 low: the error used to die with the
+        daemon thread and the consumer blocked forever)."""
+        ds = InterHumanDataset(ih_root, mode="train", max_gt_length=32)
+
+        calls = {"n": 0}
+
+        def bad_transform(batch):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise RuntimeError("corrupt sample")
+            return batch
+
+        for workers in (1, 4):
+            calls["n"] = 0
+            dl = DataLoader(ds, batch_size=2, seed=7, num_workers=workers,
+                            prefetch=1, transform=bad_transform)
+            with pytest.raises(RuntimeError, match="corrupt sample"):
+                list(dl)
+
     def test_multiworker_order_matches_single(self, ih_root):
         """num_workers must not change batch order or content within an
         epoch (deterministic epochs regardless of parallelism)."""

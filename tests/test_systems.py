@@ -79,7 +79,7 @@ class TestIn2INInteraction:
         assert bool(jnp.isfinite(losses["total"]))
 
 
-def tiny_mixer(sampler: str = "uniform"):
+def tiny_mixer(sampler: str = "uniform", force_influence_val=None):
     mixer_cfg = Config.wrap(
         {
             "NAME": "MixerMDM",
@@ -90,7 +90,7 @@ def tiny_mixer(sampler: str = "uniform"):
             "ACTIVATION": "gelu", "DIFFUSION_STEPS": 8, "BETA_SCHEDULER": "cosine",
             "SAMPLER": sampler, "MOTION_REP": "global", "T_BAR": 4,
             "STRATEGY": "ddim4", "CFG_WEIGHT": 3.5, "MIXING_MODE": 4,
-            "FORCE_INFLUENCE_VAL": None,
+            "FORCE_INFLUENCE_VAL": force_influence_val,
         }
     )
     m1 = In2INSystem(tiny_cfg(), mode="individual", clip_cfg=TINY_CLIP)
