@@ -30,6 +30,13 @@ def main(argv=None):
     parser.add_argument("--w-func", type=str, default="const", help="DualMDM weight schedule")
     parser.add_argument("--w-value", type=float, default=0.5)
     parser.add_argument("--tiny", action="store_true")
+    parser.add_argument("--traj-control", type=str, default=None, metavar="NPY",
+                        help="raw motion .npy whose root trajectory is pinned "
+                             "every step (reference x_start control)")
+    parser.add_argument("--warm-start", type=str, default=None, metavar="NPY",
+                        help="raw motion .npy to q-sample as the chain start "
+                             "(reference init_image)")
+    parser.add_argument("--skip-timesteps", type=int, default=0)
     args = parser.parse_args(argv)
 
     import jax
@@ -70,8 +77,37 @@ def main(argv=None):
         batch["text_individual1"] = [args.text_individual1 or args.text] * B
         batch["text_individual2"] = [args.text_individual2 or args.text] * B
 
+    def _load_control(path):
+        """Raw motion .npy -> this mode's normalised sampling space,
+        broadcast to B and padded/cropped to the window."""
+        if path is None:
+            return None
+        import jax.numpy as jnp
+
+        m = np.load(path).astype(np.float32)
+        if m.ndim == 2:
+            m = m[None]
+        m = np.broadcast_to(m, (B,) + m.shape[1:]).copy()
+        if m.shape[1] < args.window:
+            pad = np.zeros((B, args.window - m.shape[1], m.shape[2]), np.float32)
+            m = np.concatenate([m, pad], axis=1)
+        m = m[:, : args.window]
+        P = 2 if args.mode != "individual" else 1
+        normed = system.normalizer.forward(
+            jnp.asarray(m.reshape(B, args.window, P, -1))
+        )
+        return np.asarray(normed).reshape(B, args.window, -1)
+
+    sample_kwargs = {}
+    if args.traj_control:
+        sample_kwargs["traj_control"] = _load_control(args.traj_control)
+    if args.warm_start:
+        sample_kwargs["init_image"] = _load_control(args.warm_start)
+    if args.skip_timesteps:
+        sample_kwargs["skip_timesteps"] = args.skip_timesteps
+
     cond = system.build_cond(params, batch)
-    out = np.asarray(system.sample(params, cond, args.window, rng))
+    out = np.asarray(system.sample(params, cond, args.window, rng, **sample_kwargs))
 
     from scipy.ndimage import gaussian_filter1d
 

@@ -69,6 +69,16 @@ def main(argv=None):
     parser.add_argument("--no-align", action="store_true")
     parser.add_argument("--tiny", action="store_true", help="tiny config smoke run")
     parser.add_argument("--no-smooth", action="store_true")
+    parser.add_argument("--traj-control", type=str, default=None, metavar="NPY",
+                        help="motion .npy whose root trajectory (dims 0/2 and "
+                             "262/264) is pinned every denoising step "
+                             "(reference x_start control)")
+    parser.add_argument("--warm-start", type=str, default=None, metavar="NPY",
+                        help="motion .npy to q-sample as the chain's starting "
+                             "point (reference init_image)")
+    parser.add_argument("--skip-timesteps", type=int, default=0,
+                        help="drop the first N (respaced) denoising steps; "
+                             "with no --warm-start a zero motion is used")
     args = parser.parse_args(argv)
 
     import jax
@@ -91,6 +101,39 @@ def main(argv=None):
         "motion_lens": np.asarray([window] * B),
     }
 
+    def _load_control(path, window):
+        """Raw (T, 524) or (B, T, 524) motion .npy -> model-2 (InterHuman)
+        normalised space, padded/cropped to the window.  The chain pins /
+        warm-starts BOTH streams with the same values, matching the
+        reference's shared x_start pinning (gaussian_diffusion.py:1874-1882).
+        """
+        if path is None:
+            return None
+        import jax.numpy as jnp
+
+        m = np.load(path).astype(np.float32)
+        if m.ndim == 2:
+            m = m[None]
+        m = np.broadcast_to(m, (B,) + m.shape[1:]).copy()
+        if m.shape[1] < window:  # pad/crop to the sampling window
+            pad = np.zeros((B, window - m.shape[1], m.shape[2]), np.float32)
+            m = np.concatenate([m, pad], axis=1)
+        m = m[:, :window]
+        normed = system.normalizer2.forward(
+            jnp.asarray(m.reshape(B, window, 2, -1))
+        )
+        return np.asarray(normed).reshape(B, window, -1)
+
+    sample_kwargs = {}
+    traj = _load_control(args.traj_control, window)
+    warm = _load_control(args.warm_start, window)
+    if traj is not None:
+        sample_kwargs["traj_control"] = traj
+    if warm is not None:
+        sample_kwargs["init_image"] = warm
+    if args.skip_timesteps:
+        sample_kwargs["skip_timesteps"] = args.skip_timesteps
+
     if len(jax.devices()) > 1 and B % len(jax.devices()) == 0:
         # Data-parallel generation: params replicated, the per-prompt sample
         # batch sharded over the device mesh (samples are independent).
@@ -101,11 +144,15 @@ def main(argv=None):
         cond = jax.device_put(system.generate_cond(params, batch),
                               data_sharded(mesh))
         sampled, infl = system.sample(params, cond, window, rng,
-                                      collect_influence=True)
+                                      collect_influence=True, **sample_kwargs)
         out = {"output": sampled, "influence_i1": infl[0],
                "influence_i2": infl[1]}
     else:
-        out = system.forward(params, batch, rng)
+        cond = system.generate_cond(params, batch)
+        sampled, infl = system.sample(params, cond, window, rng,
+                                      collect_influence=True, **sample_kwargs)
+        out = {"output": sampled, "influence_i1": infl[0],
+               "influence_i2": infl[1]}
     motions = np.asarray(out["output"])
     if not args.no_smooth:
         motions = gaussian_smooth(motions)

@@ -205,9 +205,15 @@ def ddim_step(s: DiffusionSchedule, x, t, pred_xstart, rng, eta: float = 0.0):
 
 
 def _apply_traj_control(img, x_start):
-    """Pin root-trajectory dims from x_start each step (reference :1052-1055)."""
+    """Pin root-trajectory dims from x_start each step (reference :1052-1055).
+
+    Person-2's dims [262, 264] are pinned only when the motion is wide
+    enough (two-person layouts); jnp would otherwise silently CLAMP the
+    out-of-bounds indices onto the wrong feature.
+    """
     T = img.shape[1]
-    idx = jnp.asarray([0, 2, 262, 264])
+    D = img.shape[2]
+    idx = jnp.asarray([i for i in (0, 2, 262, 264) if i < D])
     return img.at[:, :, idx].set(x_start[:, :T, idx])
 
 
@@ -224,6 +230,8 @@ def ddim_sample_loop(
     var_type: str = VAR_FIXED_SMALL,
     traj_control=None,
     cond_fn: Callable | None = None,
+    skip_timesteps: int = 0,
+    init_image=None,
     dtype=jnp.float32,
 ):
     """Full DDIM chain as one ``lax.scan`` (reference :946-1069).
@@ -232,13 +240,24 @@ def ddim_sample_loop(
     ``ddim_sample_loop`` (:997).  ``cond_fn(x, t_orig) -> grad log p(y|x)``
     applies Song-style score conditioning each step (reference ddim_sample
     :822 -> condition_score :584).
+
+    Warm start (reference :1031-1038): ``skip_timesteps`` drops the first
+    steps of the (respaced) chain and ``init_image`` is q-sampled to the
+    first remaining timestep using the initial noise draw as the noise
+    (``skip_timesteps`` with no image implies a zero image).
     """
     if cond_fn is not None:
         from .guidance import condition_score
     rng, init_rng = jax.random.split(rng)
     img = jax.random.normal(init_rng, shape, dtype) if noise is None else noise
     B = shape[0]
-    ts = jnp.arange(s.num_timesteps - 1, -1, -1)
+    n_eff = s.num_timesteps - int(skip_timesteps)
+    if skip_timesteps and init_image is None:
+        init_image = jnp.zeros(shape, dtype)
+    if init_image is not None:
+        t0 = jnp.full((B,), n_eff - 1, jnp.int32)
+        img = q_sample(s, init_image.astype(dtype), t0, img)
+    ts = jnp.arange(n_eff - 1, -1, -1)
 
     def body(carry, i):
         img, rng = carry
@@ -270,15 +289,28 @@ def p_sample_loop(
     mean_type: str = MEAN_START_X,
     var_type: str = VAR_FIXED_SMALL,
     cond_fn: Callable | None = None,
+    pre_seq=None,
+    transl_req=None,
+    transl_dims=(0, 2),
     dtype=jnp.float32,
 ):
     """Ancestral DDPM chain as one ``lax.scan`` (reference :694-797).
 
     ``cond_fn`` applies the Sohl-Dickstein mean shift each step (reference
     p_sample :656 -> condition_mean :569).
+
+    Inpainting controls, applied to the loop state before each model call
+    exactly as the reference's ``p_sample`` does (:662-673): ``pre_seq``
+    (B, T_pre, F) q-samples the clean prefix to the current noise level and
+    overwrites the first frames; ``transl_req`` — a static sequence of
+    ``(frame, tx, tz)`` — pins the root XZ translation at those frames.
+    (The reference's literal indexing assumes its MDM-ancestor (B, J, F, T)
+    layout; here the same operations act on the (B, T, F) motion layout.)
     """
     if cond_fn is not None:
         from .guidance import condition_mean
+    if pre_seq is not None or transl_req is not None:
+        from .guidance import apply_prefix_inpainting, apply_translation_pinning
     rng, init_rng = jax.random.split(rng)
     img = jax.random.normal(init_rng, shape, dtype) if noise is None else noise
     B = shape[0]
@@ -288,6 +320,14 @@ def p_sample_loop(
         img, rng = carry
         rng, step_rng = jax.random.split(rng)
         t = jnp.full((B,), i, dtype=jnp.int32)
+        if pre_seq is not None:
+            rng, seq_rng = jax.random.split(rng)
+            img = apply_prefix_inpainting(s, img, t, pre_seq.astype(dtype), seq_rng)
+        if transl_req is not None:
+            rng, pin_rng = jax.random.split(rng)
+            img = apply_translation_pinning(
+                s, img, t, transl_req, pin_rng, dims=transl_dims
+            )
         out = p_mean_variance(
             model_fn, s, img, t,
             mean_type=mean_type, var_type=var_type, clip_denoised=clip_denoised,

@@ -93,11 +93,16 @@ def apply_prefix_inpainting(s: DiffusionSchedule, x, t, pre_seq, rng):
 
 
 def apply_translation_pinning(
-    s: DiffusionSchedule, x, t, transl_req: Sequence, rng
+    s: DiffusionSchedule, x, t, transl_req: Sequence, rng, dims=(0, 2)
 ):
-    """Pin root XZ translation at requested frames (reference :668-673).
+    """Pin root translation at requested frames (reference :668-673).
 
-    ``transl_req``: sequence of (frame_idx, tx, tz).
+    ``transl_req``: sequence of (frame_idx, tx, tz).  The two q-sampled
+    values are written to feature ``dims`` at each requested frame; the
+    default (0, 2) is the root XZ position in this framework's (B, T, 262·P)
+    motion layout.  (The reference writes its first two feature rows —
+    ``x[:, :2, frame]`` — an indexing inherited from its MDM ancestor's
+    transposed layout.)
     """
     for i, (frame, tx, tz) in enumerate(transl_req):
         step_rng = jax.random.fold_in(rng, i)
@@ -107,7 +112,7 @@ def apply_translation_pinning(
             extract(s.sqrt_alphas_cumprod, t, 1)[0] * target
             + extract(s.sqrt_one_minus_alphas_cumprod, t, 1)[0] * noise
         )
-        x = x.at[:, frame, jnp.asarray([0, 2])].set(noisy)
+        x = x.at[:, frame, jnp.asarray(list(dims))].set(noisy)
     return x
 
 

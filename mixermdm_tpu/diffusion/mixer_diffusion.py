@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..utils.alignment import center_person_fast
 from ..utils.normalizer import Normalizer
-from .gaussian import extract, predict_eps_from_xstart, q_sample
+from .gaussian import _apply_traj_control, extract, predict_eps_from_xstart, q_sample
 from .schedule import DiffusionSchedule
 
 
@@ -87,6 +87,9 @@ def ddim_sample_loop_x2(
     noise=None,
     nfeats: int = 262,
     collect_influence: bool = False,
+    traj_control=None,
+    skip_timesteps: int = 0,
+    init_image=None,
     dtype=jnp.float32,
 ):
     """Full dual-stream DDIM chain as one ``lax.scan`` (reference :1769-1965).
@@ -98,18 +101,34 @@ def ddim_sample_loop_x2(
     influence histories come back as stacked scan outputs — no extra forward
     (the reference appends to Python lists inside the module,
     mixermdm.py:794-796).
+
+    ``traj_control`` (the reference's ``x_start``, :1874-1882) pins the root
+    trajectory dims [0, 2] and [262, 264] of BOTH streams from the given
+    motion before every step.  ``skip_timesteps``/``init_image`` warm-start
+    the chain exactly as in the single-stream loop (:1854-1860): the init
+    image is q-sampled to the first remaining timestep with the initial
+    noise draw, and both streams start from it.
     """
     rng, init_rng = jax.random.split(rng)
     img = jax.random.normal(init_rng, shape, dtype) if noise is None else noise
-    img2 = img
     B = shape[0]
-    ts = jnp.arange(s.num_timesteps - 1, -1, -1)
+    n_eff = s.num_timesteps - int(skip_timesteps)
+    if skip_timesteps and init_image is None:
+        init_image = jnp.zeros(shape, dtype)
+    if init_image is not None:
+        t0 = jnp.full((B,), n_eff - 1, jnp.int32)
+        img = q_sample(s, init_image.astype(dtype), t0, img)
+    img2 = img
+    ts = jnp.arange(n_eff - 1, -1, -1)
 
     def body(carry, i):
         img, img2, rng = carry
         rng, step_rng = jax.random.split(rng)
         t = jnp.full((B,), i, dtype=jnp.int32)
         t_orig = s.timestep_map[t]
+        if traj_control is not None:
+            img = _apply_traj_control(img, traj_control)
+            img2 = _apply_traj_control(img2, traj_control)
 
         if collect_influence:
             mixed, infl = mixer_fn(img, img2, t_orig, mask, cond)

@@ -240,15 +240,25 @@ class In2INSystem:
         )
 
     # ----------------------------------------------------------------- sample
-    def sample(self, params, cond, n_frames: int, rng, normalize_output: bool = True):
-        """Full CFG DDIM chain, jitted per (B, T) shape (in2in.py:285-356)."""
+    def sample(self, params, cond, n_frames: int, rng, normalize_output: bool = True,
+               traj_control=None, skip_timesteps: int = 0, init_image=None):
+        """Full CFG DDIM chain, jitted per (B, T) shape (in2in.py:285-356).
+
+        ``traj_control`` pins the root-trajectory dims from a given motion
+        each step (reference ``x_start``, gaussian_diffusion.py:1052-1055);
+        ``skip_timesteps``/``init_image`` warm-start the chain from a motion
+        in the model's NORMALISED space (reference :1031-1038).  Both are
+        traced arguments (only their presence recompiles).
+        """
         B = cond.shape[0]
-        key = (B, n_frames)
+        key = (B, n_frames, int(skip_timesteps),
+               traj_control is None, init_image is None)
         if key not in self._jit_sample:
             self._jit_sample[key] = jax.jit(
-                partial(self._sample_impl, n_frames=n_frames)
+                partial(self._sample_impl, n_frames=n_frames,
+                        skip_timesteps=int(skip_timesteps))
             )
-        out = self._jit_sample[key](params, cond, rng)
+        out = self._jit_sample[key](params, cond, rng, traj_control, init_image)
         if normalize_output:
             P = 2 if self.mode != "individual" else 1
             out = self.normalizer.backward(out.reshape(B, n_frames, P, -1)).reshape(
@@ -256,7 +266,8 @@ class In2INSystem:
             )
         return out
 
-    def _sample_impl(self, params, cond, rng, *, n_frames):
+    def _sample_impl(self, params, cond, rng, traj_control=None, init_image=None,
+                     *, n_frames, skip_timesteps: int = 0):
         B = cond.shape[0]
         if self.mode == "interaction":
             apply = self.denoiser_apply("interaction", cast=True, quant=self._quant)
@@ -294,7 +305,9 @@ class In2INSystem:
             return model(x, t_orig, None, cond)
 
         return G.ddim_sample_loop(
-            model_fn, self.sample_schedule, shape, rng, clip_denoised=False
+            model_fn, self.sample_schedule, shape, rng, clip_denoised=False,
+            traj_control=traj_control, skip_timesteps=skip_timesteps,
+            init_image=init_image,
         )
 
     def forward_test(self, params, batch: dict, rng):
