@@ -15,6 +15,7 @@ COMMANDS = {
     "train-finetuned": ("mixermdm_tpu.cli.train_finetuned", "individual->interaction finetune"),
     "train-evaluator": ("mixermdm_tpu.cli.train_evaluator", "InterCLIP evaluator training"),
     "eval-mixermdm": ("mixermdm_tpu.cli.eval_mixermdm", "evaluation protocol"),
+    "eval-base": ("mixermdm_tpu.cli.eval_base", "base-model evaluation (in2IN/DualMDM/MDM)"),
 }
 
 

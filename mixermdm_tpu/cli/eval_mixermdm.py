@@ -25,147 +25,14 @@ import json
 from collections import OrderedDict, defaultdict
 
 
-def _interleave(t1, t2):
-    """Per-person texts interleaved to match the 2B person batch
-    (reference evaluation/utils.py:282-301)."""
-    out = []
-    for a, b in zip(t1, t2):
-        out.extend([a, b])
-    return out
-
-
-def _length_groups(idx_list, dataset, per_item: bool, batch_size: int):
-    """Yield index batches; with per_item, group equal lengths so every item
-    is generated at exactly its own length (protocol-exact)."""
-    if not per_item:
-        for start in range(0, len(idx_list), batch_size):
-            yield idx_list[start : start + batch_size]
-        return
-    by_len = defaultdict(list)
-    for i in idx_list:
-        by_len[int(dataset[i]["motion_lens"])].append(i)
-    for _, group in sorted(by_len.items()):
-        for start in range(0, len(group), batch_size):
-            yield group[start : start + batch_size]
-
-
-def _generate_batches(system, params, dataset, rng, *, num_samples, batch_size,
-                      per_item, collect_ind_texts, mesh=None):
-    """Batched mixer generation over a GT set.
-
-    Returns (gt_batches, gen_batches, ind_text_batches); every batch is
-    ``(texts, motions(B,T,524), lens)``.
-    """
-    import jax
-    import numpy as np
-
-    from ..data.loader import collate
-
-    gt_batches, gen_batches, ind_texts = [], [], []
-    n = min(num_samples, len(dataset))
-    for idx in _length_groups(list(range(n)), dataset, per_item, batch_size):
-        items = [dataset[i] for i in idx]
-        batch = collate(items)
-        if "text_individual1" not in batch:
-            batch["text_individual1"] = list(batch["text"])
-            batch["text_individual2"] = list(batch["text"])
-        gt_batches.append(
-            (batch["text"], batch["motions"].astype(np.float32), batch["motion_lens"])
-        )
-        ind_texts.append((batch["text_individual1"], batch["text_individual2"]))
-
-        rng, step = jax.random.split(rng)
-        T = int(batch["motion_lens"].max())
-        from ..eval.datasets import _sharded_sample
-
-        motions = _sharded_sample(
-            system, params, system.generate_cond(params, batch), T, step, mesh
-        )
-        pad = batch["motions"].shape[1] - T
-        if pad > 0:
-            motions = np.pad(motions, ((0, 0), (0, pad), (0, 0)))
-        gen_batches.append((batch["text"], motions, batch["motion_lens"]))
-    return gt_batches, gen_batches, ind_texts
-
-
-def run_side(system, params, gt_dataset, wrapper, protocol, *, individual,
-             num_samples, batch_size, max_frames, replications, seed,
-             per_item=False, mm_num_samples=None, mm_num_repeats=None,
-             model_name="mixermdm", mesh=None):
-    """One dataset side of the protocol (reference ``evaluation()``,
-    eval/mixermdm.py:124-213).  Returns {metric: {name: [per-replication]}}.
-    """
-    import jax
-    import numpy as np
-
-    from ..eval import (
-        evaluate_diversity,
-        evaluate_fid,
-        evaluate_matching_score,
-        evaluate_multimodality,
-    )
-    from ..eval.datasets import MMGeneratedDataset
-
-    mm_num_samples = protocol.mm_num_samples if mm_num_samples is None else mm_num_samples
-    mm_num_repeats = protocol.mm_num_repeats if mm_num_repeats is None else mm_num_repeats
-
-    all_metrics = defaultdict(lambda: defaultdict(list))
-    for rep in range(replications):
-        print(f"== replication {rep + 1}/{replications} ==")
-        rng = jax.random.PRNGKey(seed + 1000 * rep)
-        rng, gen_rng, mm_rng = jax.random.split(rng, 3)
-        gt_batches, gen_batches, ind_texts = _generate_batches(
-            system, params, gt_dataset, gen_rng,
-            num_samples=num_samples, batch_size=batch_size,
-            per_item=per_item, collect_ind_texts=individual, mesh=mesh,
-        )
-        if individual:
-            # The individual evaluator scores per-person halves against the
-            # per-person texts (2B interleave, evaluation/utils.py:282-301).
-            gen_batches = [
-                (_interleave(t1, t2), m, l)
-                for (t1, t2), (_, m, l) in zip(ind_texts, gen_batches)
-            ]
-            gt_batches = [
-                (_interleave(t1, t2), m, l)
-                for (t1, t2), (_, m, l) in zip(ind_texts, gt_batches)
-            ]
-
-        sets = OrderedDict(
-            [(model_name, gen_batches), ("ground truth", gt_batches)]
-        )
-        match, rprec, acts = evaluate_matching_score(sets, wrapper, protocol.top_k)
-        fid = evaluate_fid(gt_batches, {model_name: acts[model_name]}, wrapper)
-        div_times = min(protocol.diversity_times, acts[model_name].shape[0] - 1)
-        div = evaluate_diversity(acts, div_times, seed=seed + rep)
-
-        mm_val = None
-        if mm_num_samples > 0:
-            mm_set = MMGeneratedDataset(
-                system, params, gt_dataset, mm_rng,
-                mm_num_samples=mm_num_samples, mm_num_repeats=mm_num_repeats,
-                max_frames=max_frames, mesh=mesh,
-            )
-            # times must stay below the replica count (metrics.py sampling);
-            # only relevant for down-scaled --tiny runs (protocol: 15 > 5).
-            mm_times = min(protocol.mm_num_times, mm_num_repeats - 1)
-            mm = evaluate_multimodality(
-                {model_name: list(mm_set)}, wrapper, mm_times,
-                seed=seed + rep,
-            )
-            mm_val = float(mm[model_name])
-
-        for name in sets:
-            all_metrics["MM Distance"][name].append(float(match[name]))
-            for k in range(protocol.top_k):
-                all_metrics[f"R_precision_top{k + 1}"][name].append(
-                    float(rprec[name][k])
-                )
-            all_metrics["Diversity"][name].append(float(div[name]))
-        all_metrics["FID"][model_name].append(float(fid[model_name]))
-        if mm_val is not None:
-            all_metrics["MultiModality"][model_name].append(mm_val)
-    return all_metrics
+from ..eval.driver import (  # shared protocol driver (also used by eval_base)
+    clean_json as _clean,
+    generate_batches as _generate_batches,
+    interleave as _interleave,
+    length_groups as _length_groups,
+    run_side,
+    summarize_metrics,
+)
 
 
 def main(argv=None):
@@ -190,6 +57,15 @@ def main(argv=None):
     parser.add_argument("--per-item-lengths", action="store_true",
                         help="generate each item at its own length "
                              "(protocol-exact; reference datasets.py:116)")
+    parser.add_argument("--dualmdm-cross", action="store_true",
+                        help="cross-dataset composition comparison: generate "
+                             "from InterHuman interaction texts crossed with "
+                             "random HumanML3D individual texts, sweeping "
+                             "force_influence_val (reference "
+                             "evaluation/datasets.py:228-382)")
+    parser.add_argument("--force-influence-sweep", type=str, default="none,0",
+                        help="comma list of force_influence values for "
+                             "--dualmdm-cross ('none' = learned influence)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-data-parallel", action="store_true",
                         help="disable sharding generation over the device mesh")
@@ -323,15 +199,29 @@ def main(argv=None):
         )
 
     def summarize(metrics):
-        return {
-            metric: {
-                name: list(get_metric_statistics(np.asarray(v), replications))
-                for name, v in d.items()
-            }
-            for metric, d in metrics.items()
-        }
+        return summarize_metrics(metrics, replications)
 
     summary = {}
+    if args.dualmdm_cross:
+        from ..eval.driver import run_dualmdm_cross
+
+        sweep = [None if v.strip().lower() in ("none", "") else float(v)
+                 for v in args.force_influence_sweep.split(",")]
+        print("===== DualMDM cross-dataset sweep =====")
+        gt_ih = InterHumanDataset(args.data_root, mode="test",
+                                  max_gt_length=max_frames)
+        hml_texts = HumanML3DDataset(args.hml3d_root, mode="test",
+                                     extended=False, max_gt_length=max_frames)
+        if len(gt_ih) == 0 or len(hml_texts) == 0:
+            raise SystemExit("dualmdm-cross needs both InterHuman and "
+                             "HumanML3D test data")
+        cross = run_dualmdm_cross(
+            system, params, gt_ih, hml_texts, wrapper, protocol,
+            sweep=sweep, num_samples=num_samples, batch_size=batch_size,
+            max_frames=max_frames, replications=replications,
+            seed=args.seed, mesh=mesh,
+        )
+        summary["dualmdm_cross"] = summarize(cross)
     if metrics_ih is not None:
         summary["interhuman"] = summarize(metrics_ih)
     if metrics_hml is not None:
@@ -343,17 +233,6 @@ def main(argv=None):
                      for name, (f, ci) in d.items()}
             for metric, d in fscores.items()
         }
-
-    def _clean(o):
-        if isinstance(o, dict):
-            return {k: _clean(v) for k, v in o.items()}
-        if isinstance(o, (list, tuple)):
-            return [_clean(v) for v in o]
-        if isinstance(o, np.ndarray):
-            return o.tolist()
-        if isinstance(o, (np.floating, np.integer)):
-            return float(o)
-        return o
 
     summary = _clean(summary)
     print(json.dumps(summary, indent=2))

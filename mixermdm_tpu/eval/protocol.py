@@ -77,6 +77,11 @@ class EvaluatorWrapperIndividual(EvaluatorWrapper):
         import jax.numpy as jnp
 
         B, T, D = motions.shape
+        if D == int(self.model.cfg.INPUT_DIM) + 4:
+            # Already single-person (e.g. MDM / in2IN-individual generations
+            # in the base-model eval): just centre, no person split.
+            persons = smpl_to_ih(center_motion(ih_to_smpl(jnp.asarray(motions))))
+            return persons, jnp.asarray(motion_lens)
         F = D // 2
         persons = jnp.stack([motions[..., :F], motions[..., F:]], axis=1).reshape(
             2 * B, T, F
