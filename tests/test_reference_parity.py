@@ -9,8 +9,13 @@ dim-1 channel split coincides with our feature (last-axis) split.
 
 import numpy as np
 import pytest
-import torch
 
+torch = pytest.importorskip(
+    "torch", reason="live-reference parity needs torch; torch-free parity "
+                    "coverage lives in tests/test_golden.py"
+)
+
+from tests import golden
 from tests.reference_compat import import_reference
 
 import jax
@@ -341,6 +346,9 @@ class TestIn2INDenoiserParity:
         ours = den1.apply({"params": p1}, jnp.asarray(x), jnp.asarray(t),
                           jnp.asarray(mask), jnp.asarray(cond))
         np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-4, rtol=1e-4)
+        golden.save_or_check("denoiser_fwd_individual",
+                             {"x": x, "cond": cond, "t": t, "mask": mask,
+                              "ref": ref.numpy()})
 
     def test_interaction(self, ref_denoisers, our_denoisers):
         _, den2_t = ref_denoisers
@@ -352,6 +360,9 @@ class TestIn2INDenoiserParity:
         ours = den2.apply({"params": p2}, jnp.asarray(x), jnp.asarray(t),
                           jnp.asarray(mask), jnp.asarray(cond))
         np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-4, rtol=1e-4)
+        golden.save_or_check("denoiser_fwd_interaction",
+                             {"x": x, "cond": cond, "t": t, "mask": mask,
+                              "ref": ref.numpy()})
 
 
 @pytest.fixture(scope="module")
@@ -425,6 +436,11 @@ class TestMixerParity:
             np.testing.assert_allclose(
                 np.asarray(a), b.numpy(), atol=5e-4, rtol=1e-3, err_msg=name
             )
+        golden.save_or_check("mixer_fwd",
+                             {"x1": x1, "x2": x2, "cond": cond, "t": t,
+                              "mask": mask, "ref_mixed": ref_mix.numpy(),
+                              "ref_out1": ref_o1.numpy(),
+                              "ref_out2": ref_o2.numpy()})
 
 
 @pytest.fixture(scope="module")
@@ -520,6 +536,12 @@ class TestMixerDiffusionParity:
                 float(ours[key]), float(ref_val), atol=2e-3, rtol=2e-3,
                 err_msg=key,
             )
+        golden.save_or_check(
+            f"mixer_losses_{mode}",
+            {"x_start": x_start, "cond": cond, "t": t, "mask": mask,
+             "noise": noise,
+             "ref_losses": {k: np.float32(v) for k, v in ref_losses.items()}},
+        )
 
     def test_ddim_chain(self, diffusions, ref_mixer, our_mixer):
         _, _, test_ref, s_test = diffusions
@@ -550,6 +572,204 @@ class TestMixerDiffusionParity:
             jax.random.PRNGKey(0), jnp.asarray(cond),
             mask=jnp.asarray(mask), normalizer1=n1, normalizer2=n2,
             align=True, nfeats=F, noise=jnp.asarray(noise),
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours), ref_out.numpy(), atol=2e-3, rtol=2e-3
+        )
+        golden.save_or_check("mixer_ddim",
+                             {"cond": cond, "mask": mask, "noise": noise,
+                              "ref": ref_out.numpy()})
+
+
+class TestInpaintingLoops:
+    """VERDICT r2 item 3: inpainting controls threaded through the sampling
+    LOOPS (not just the helpers), vs the live reference loops —
+    ``skip_timesteps``/``init_image`` (gaussian_diffusion.py:1031-1038),
+    ``pre_seq``/``transl_req`` in ``p_sample`` (:662-673), and the
+    dual-stream ``x_start`` trajectory pinning (:1874-1882)."""
+
+    D = 300  # wide enough for the traj-control dims [0, 2, 262, 264]
+
+    @staticmethod
+    def _dummy_models():
+        def f_torch(x, t, **_kw):
+            scale = 0.5 + 0.05 * t.float().view(-1, *([1] * (x.dim() - 1)))
+            return torch.tanh(x) * scale
+
+        def f_jax(x, t_orig):
+            scale = 0.5 + 0.05 * t_orig.astype(jnp.float32).reshape(
+                (-1,) + (1,) * (x.ndim - 1)
+            )
+            return jnp.tanh(x) * scale
+
+        return f_torch, f_jax
+
+    @pytest.mark.parametrize("skip,with_image", [(0, True), (7, True), (7, False)])
+    def test_ddim_warm_start(self, skip, with_image):
+        """skip_timesteps/init_image on the respaced DDIM loop."""
+        use = space_timesteps(N_STEPS, "ddim10")
+        ref, s = _ref_diffusion(
+            gd.ModelMeanType.START_X, gd.ModelVarType.FIXED_SMALL, use
+        )
+        f_torch, f_jax = self._dummy_models()
+        rng = np.random.default_rng(50)
+        B, T = 2, 5
+        shape = (B, T, self.D)
+        noise = rng.standard_normal(shape).astype(np.float32)
+        init = (0.3 * rng.standard_normal(shape)).astype(np.float32) if with_image else None
+
+        with torch.no_grad():
+            ref_out = ref.ddim_sample_loop(
+                f_torch, shape, noise=torch.from_numpy(noise),
+                clip_denoised=False, device="cpu", skip_timesteps=skip,
+                init_image=None if init is None else torch.from_numpy(init),
+            )
+        ours = G.ddim_sample_loop(
+            f_jax, s, shape, jax.random.PRNGKey(0),
+            noise=jnp.asarray(noise), clip_denoised=False,
+            skip_timesteps=skip,
+            init_image=None if init is None else jnp.asarray(init),
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours), ref_out.numpy(), atol=3e-5, rtol=3e-5
+        )
+
+    def test_ddim_traj_control(self):
+        """x_start root-trajectory pinning in the single-stream loop
+        (reference :1052-1055)."""
+        use = space_timesteps(N_STEPS, "ddim10")
+        ref, s = _ref_diffusion(
+            gd.ModelMeanType.START_X, gd.ModelVarType.FIXED_SMALL, use
+        )
+        f_torch, f_jax = self._dummy_models()
+        rng = np.random.default_rng(51)
+        B, T = 2, 5
+        shape = (B, T, self.D)
+        noise = rng.standard_normal(shape).astype(np.float32)
+        x_start = rng.standard_normal(shape).astype(np.float32)
+
+        with torch.no_grad():
+            ref_out = ref.ddim_sample_loop(
+                f_torch, shape, noise=torch.from_numpy(noise),
+                clip_denoised=False, device="cpu",
+                x_start=torch.from_numpy(x_start),
+            )
+        ours = G.ddim_sample_loop(
+            f_jax, s, shape, jax.random.PRNGKey(0),
+            noise=jnp.asarray(noise), clip_denoised=False,
+            traj_control=jnp.asarray(x_start),
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours), ref_out.numpy(), atol=3e-5, rtol=3e-5
+        )
+
+    def test_ddpm_pre_seq_and_transl_req(self, monkeypatch):
+        """pre_seq + transl_req through the whole DDPM loop.
+
+        The reference's indexing (``x[:, :, :T]`` / ``x[:, :2, frame]``,
+        :662-673) assumes its MDM-ancestor layout with FRAMES LAST, so the
+        reference runs on (B, F, T') tensors and ours on the transposed
+        (B, T', F) motion layout with ``transl_dims=(0, 1)``; noise draws on
+        both sides are pinned to zero so the coefficient math must agree
+        exactly step-for-step."""
+        ref, s = _ref_diffusion(gd.ModelMeanType.START_X, gd.ModelVarType.FIXED_SMALL)
+        f_torch, f_jax = self._dummy_models()
+        rng = np.random.default_rng(52)
+        B, T, Fd = 2, 6, 5
+        T_pre = 3
+        noise = rng.standard_normal((B, T, Fd)).astype(np.float32)
+        pre_seq = rng.standard_normal((B, T_pre, Fd)).astype(np.float32)
+        transl_req = [(4, 0.7, -0.3), (1, -1.1, 0.2)]
+
+        monkeypatch.setattr(gd.th, "randn_like", lambda x: torch.zeros_like(x))
+        monkeypatch.setattr(
+            gd.th, "randn",
+            lambda *shape, **kw: torch.zeros(*shape, **{k: v for k, v in kw.items()
+                                                        if k != "device"}),
+        )
+        with torch.no_grad():
+            ref_out = ref.p_sample_loop(
+                f_torch, (B, Fd, T),
+                noise=torch.from_numpy(noise.transpose(0, 2, 1).copy()),
+                clip_denoised=False, device="cpu",
+                pre_seq=torch.from_numpy(pre_seq.transpose(0, 2, 1).copy()),
+                transl_req=transl_req,
+            )
+
+        real_normal = jax.random.normal
+        monkeypatch.setattr(
+            jax.random, "normal",
+            lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype),
+        )
+        try:
+            ours = G.p_sample_loop(
+                f_jax, s, (B, T, Fd), jax.random.PRNGKey(0),
+                noise=jnp.asarray(noise), clip_denoised=False,
+                pre_seq=jnp.asarray(pre_seq), transl_req=transl_req,
+                transl_dims=(0, 1),
+            )
+        finally:
+            monkeypatch.setattr(jax.random, "normal", real_normal)
+        np.testing.assert_allclose(
+            np.asarray(ours), ref_out.numpy().transpose(0, 2, 1),
+            atol=3e-5, rtol=3e-5,
+        )
+
+
+class TestDualStreamInpainting:
+    """Dual-stream loop controls vs MixerDiffusion (reference :1854-1882):
+    x_start pins BOTH streams; skip/init warm-starts both from one image."""
+
+    def test_x2_traj_control(self, ref_mixer, our_mixer):
+        self._run_x2(ref_mixer, our_mixer, traj=True, skip=0, image=False)
+
+    def test_x2_warm_start(self, ref_mixer, our_mixer):
+        self._run_x2(ref_mixer, our_mixer, traj=False, skip=2, image=True)
+
+    def _run_x2(self, ref_mixer, our_mixer, *, traj, skip, image):
+        cfg, fwd, params, n1, n2 = our_mixer
+        cfg_sampler = import_reference("models.utils.cfg_sampler")
+        betas = get_named_beta_schedule("cosine", N_STEPS)
+        use = space_timesteps(N_STEPS, "ddim5")
+        test_ref = gd.MixerDiffusion(
+            use_timesteps=use, align=True, betas=betas,
+            model_mean_type=gd.ModelMeanType.START_X,
+            model_var_type=gd.ModelVarType.FIXED_SMALL,
+            loss_type=gd.LossType.MSE,
+        )
+        s_test = make_schedule(betas, use)
+
+        rng = np.random.default_rng(60)
+        cond = (0.2 * rng.standard_normal((B, 8 * TD))).astype(np.float32)
+        mask = np.ones((B, T, 1), np.float32)
+        noise = rng.standard_normal((B, T, 2 * F)).astype(np.float32)
+        x_start = rng.standard_normal((B, T, 2 * F)).astype(np.float32) if traj else None
+        init = (0.3 * rng.standard_normal((B, T, 2 * F))).astype(np.float32) if image else None
+
+        ref_mixer.mode = "eval_intermediate"
+        try:
+            model = cfg_sampler.ClassifierFreeSampleModelX2(ref_mixer, 3.5)
+            with torch.no_grad():
+                ref_out = test_ref.ddim_sample_loop(
+                    model, (B, T, 2 * F), noise=torch.from_numpy(noise),
+                    clip_denoised=False, skip_timesteps=skip,
+                    init_image=None if init is None else torch.from_numpy(init),
+                    model_kwargs={"cond": torch.from_numpy(cond),
+                                  "mask": torch.from_numpy(mask)},
+                    x_start=None if x_start is None else torch.from_numpy(x_start),
+                )
+        finally:
+            ref_mixer.mode = "train"
+
+        mixer_eval = lambda x, x2, t, m, c: fwd(params, x, t, c, m, x2)[0]
+        ours = ddim_sample_loop_x2(
+            cfg_model_x2(mixer_eval, 3.5), s_test, (B, T, 2 * F),
+            jax.random.PRNGKey(0), jnp.asarray(cond),
+            mask=jnp.asarray(mask), normalizer1=n1, normalizer2=n2,
+            align=True, nfeats=F, noise=jnp.asarray(noise),
+            traj_control=None if x_start is None else jnp.asarray(x_start),
+            skip_timesteps=skip,
+            init_image=None if init is None else jnp.asarray(init),
         )
         np.testing.assert_allclose(
             np.asarray(ours), ref_out.numpy(), atol=2e-3, rtol=2e-3
@@ -614,6 +834,15 @@ class TestInterCLIPParity:
             ours.encode_motion(params, jnp.asarray(motions), jnp.asarray(lens))
         )
         np.testing.assert_allclose(ours_emb, ref_emb, atol=2e-4, rtol=2e-4)
+        # Only the motion-encoder subtree is recorded: the text tower's
+        # token embedding alone is 150 MB (vocab 49408 x 768) — far too big
+        # to commit — and the motion encoder is the part that matters for
+        # eval parity (it is the FID featurizer).
+        golden.save_or_check("interclip_motion",
+                             {"params": {"motion_encoder": params["motion_encoder"],
+                                         "latent_scale": params["latent_scale"]},
+                              "motions": motions,
+                              "lens": lens, "ref_emb": ref_emb})
 
     def test_text_embeddings_and_loss(self, interclip_pair):
         import sys
@@ -645,3 +874,22 @@ class TestInterCLIPParity:
         np.testing.assert_allclose(
             float(ours_total), float(ref_total), atol=1e-4, rtol=1e-4
         )
+        # No golden fixture for the text tower (see interclip_motion note):
+        # text-side parity stays live-torch-only.
+
+
+class TestGoldenStack:
+    """Record/verify the converted parameter stack used by the torch-free
+    golden replay (tests/test_golden.py)."""
+
+    def test_record_stack(self, our_mixer, ref_discriminators):
+        _cfg, _fwd, params, n1, n2 = our_mixer
+        disc_i_t, disc_I_t = ref_discriminators
+        stack = {
+            "mixer": params,
+            "disc_i": convert_discriminator(_sd(disc_i_t), "", NL),
+            "disc_I": convert_discriminator(_sd(disc_I_t), "", NL),
+            "norm": {"mean1": n1.mean, "std1": n1.std,
+                     "mean2": n2.mean, "std2": n2.std},
+        }
+        golden.save_or_check("mixer_stack", stack, atol=1e-7, rtol=1e-7)
