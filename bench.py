@@ -28,7 +28,7 @@ T = 299         # window (infer CLI default)
 DDIM_STEPS = 50
 
 
-def build_system(tiny: bool = False, quant: bool = False):
+def build_system(tiny: bool = False, quant: bool = False, steps: int | None = None):
     from mixermdm_tpu.config import MIXERMDM_DEFAULT, IN2IN_INDIVIDUAL_DEFAULT, IN2IN_INTERACTION_DEFAULT, tiny_config
     from mixermdm_tpu.models.clip_text import ClipTextConfig
     from mixermdm_tpu.systems import In2INSystem, MixerMDMSystem
@@ -51,14 +51,20 @@ def build_system(tiny: bool = False, quant: bool = False):
     m1 = In2INSystem(IN2IN_INDIVIDUAL_DEFAULT, mode="individual", clip_cfg=clip_cfg)
     m2 = In2INSystem(IN2IN_INTERACTION_DEFAULT, mode="interaction", clip_cfg=clip_cfg)
     mcfg = MIXERMDM_DEFAULT
-    if quant:
+    if quant or steps:
         from mixermdm_tpu.config import Config
         mcfg = Config.wrap(dict(mcfg))
-        mcfg["QUANT_FROZEN"] = True
+        if quant:
+            mcfg["QUANT_FROZEN"] = True
+        if steps:
+            # --steps 1000 = the un-respaced full chain (the north-star
+            # "two-person 1000-step generation" workload in BASELINE.json).
+            mcfg["STRATEGY"] = f"ddim{steps}"
     return MixerMDMSystem(mcfg, model1=m1, model2=m2, clip_cfg=clip_cfg)
 
 
-def main(tiny: bool = False, repeats: int = 3, quant: bool = False):
+def main(tiny: bool = False, repeats: int = 3, quant: bool = False,
+         steps: int | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -66,7 +72,7 @@ def main(tiny: bool = False, repeats: int = 3, quant: bool = False):
 
     enable_compilation_cache()
 
-    system = build_system(tiny, quant=quant)
+    system = build_system(tiny, quant=quant, steps=steps)
     params = system.init_params(jax.random.PRNGKey(0))
 
     b = 2 if tiny else B
@@ -96,7 +102,27 @@ def main(tiny: bool = False, repeats: int = 3, quant: bool = False):
         "value": round(samples_per_sec, 4),
         "unit": "samples/sec",
         "vs_baseline": round(samples_per_sec / REFERENCE_SAMPLES_PER_SEC, 4),
+        # e2e latency for the whole batch-b generation call (what a CLI user
+        # waits for one prompt's samples).
+        "e2e_latency_s": round(best, 4),
     }
+
+    # MFU from the XLA cost analysis of the compiled chain (BASELINE.md
+    # tracks the 195-197 TFLOP/s bf16 ceiling measured on this chip).
+    try:
+        jitted = next(iter(system._jit_sample.values()))
+        fiv_val = jnp.float32(0.0)
+        cost = jitted.lower(params, cond, rng, fiv_val, None, None).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            tflops_s = flops / best / 1e12
+            result["tflops_per_s"] = round(tflops_s, 2)
+            result["mfu_vs_bf16_peak_pct"] = round(100.0 * tflops_s / 197.0, 2)
+    except Exception:
+        pass  # cost analysis is best-effort (backend-dependent)
+
     print(json.dumps(result))
     return result
 
@@ -104,4 +130,7 @@ def main(tiny: bool = False, repeats: int = 3, quant: bool = False):
 if __name__ == "__main__":
     import sys
 
-    main(tiny="--tiny" in sys.argv, quant="--quant" in sys.argv)
+    steps = None
+    if "--steps" in sys.argv:
+        steps = int(sys.argv[sys.argv.index("--steps") + 1])
+    main(tiny="--tiny" in sys.argv, quant="--quant" in sys.argv, steps=steps)

@@ -42,7 +42,8 @@ def _random_raw_motion(rng, n_frames: int) -> np.ndarray:
     return flat
 
 
-def make_interhuman_fixture(root: str, n_clips: int = 4, n_frames: int = 40, seed: int = 0):
+def make_interhuman_fixture(root: str, n_clips: int = 4, n_frames: int = 40, seed: int = 0,
+                            test_all: bool = False):
     rng = np.random.default_rng(seed)
     os.makedirs(pjoin(root, "motions_processed", "person1"), exist_ok=True)
     os.makedirs(pjoin(root, "motions_processed", "person2"), exist_ok=True)
@@ -65,7 +66,8 @@ def make_interhuman_fixture(root: str, n_clips: int = 4, n_frames: int = 40, see
             with open(pjoin(root, "annots_individual", p, f"{name}.txt"), "w") as f:
                 f.write("\n".join(_IND_TEXTS))
 
-    for split, sel in (("train", names), ("val", names[:1]), ("test", names[-2:])):
+    test_sel = names if test_all else names[-2:]
+    for split, sel in (("train", names), ("val", names[:1]), ("test", test_sel)):
         with open(pjoin(root, "split", f"{split}.txt"), "w") as f:
             f.write("\n".join(sel) + "\n")
     return names

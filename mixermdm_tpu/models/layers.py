@@ -67,6 +67,14 @@ def _w8a8_for(latent_dim: int) -> bool:
     return _W8A8 and latent_dim >= _W8A8_MIN_DIM
 
 
+def set_w8a8_min_dim(n: int) -> None:
+    """Override the int8 width gate (experiments only — e.g. the
+    distribution-level quant A/B forces int8 onto tiny test models where the
+    default >=768 gate would never engage)."""
+    global _W8A8_MIN_DIM
+    _W8A8_MIN_DIM = n
+
+
 class w8a8_scope:
     """Enable-only scope: ``w8a8_scope(False)`` leaves the current state
     untouched (so an inner call site with quant off cannot cancel an outer

@@ -23,6 +23,7 @@ Layout notes (faithfully reproduced, including quirks):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .quaternions import qbetween, qrot
@@ -43,10 +44,24 @@ def orthonormalize_rot6d(motion: jnp.ndarray) -> jnp.ndarray:
     and matrix<->axis-angle is exact for rotation matrices), but skips the
     trig-heavy axis-angle conversions — this runs 100x per sample inside the
     DDIM scan.
+
+    Computed directly as ``[b1, b2]`` with ``b1 = a1/|a1|``,
+    ``b2 = (a2 - (b1·a2) b1)/|...|`` — the 6d->matrix->6d round trip builds
+    (and then discards) the third row ``b1 x b2`` and materialises a
+    (..., 21, 3, 3) tensor for nothing; per-step this op runs on 4 streams
+    of the mixer hot path.
     """
     lead = motion.shape[:-1]
     rot = motion[..., 132:258].reshape(lead + (21, 6))
-    rot = matrix_to_rotation_6d(rotation_6d_to_matrix(rot)).reshape(lead + (126,))
+    # The on-disk 6d layout is INTERLEAVED [r00,r10,r01,r11,r02,r12]
+    # (rotations.rotation_6d_to_matrix docstring) — deinterleave, project,
+    # re-interleave, matching matrix_to_rotation_6d's row transpose.
+    a1 = rot[..., 0::2]
+    a2 = rot[..., 1::2]
+    b1 = a1 * jax.lax.rsqrt((a1 * a1).sum(-1, keepdims=True) + 1e-12)
+    a2p = a2 - (b1 * a2).sum(-1, keepdims=True) * b1
+    b2 = a2p * jax.lax.rsqrt((a2p * a2p).sum(-1, keepdims=True) + 1e-12)
+    rot = jnp.stack([b1, b2], axis=-1).reshape(lead + (126,))
     return jnp.concatenate([motion[..., :132], rot, motion[..., 258:]], axis=-1)
 
 
