@@ -28,7 +28,8 @@ T = 299         # window (infer CLI default)
 DDIM_STEPS = 50
 
 
-def build_system(tiny: bool = False, quant: bool = False, steps: int | None = None):
+def build_system(tiny: bool = False, quant: bool = False, steps: int | None = None,
+                 compute_dtype: str = "auto"):
     from mixermdm_tpu.config import MIXERMDM_DEFAULT, IN2IN_INDIVIDUAL_DEFAULT, IN2IN_INTERACTION_DEFAULT, tiny_config
     from mixermdm_tpu.models.clip_text import ClipTextConfig
     from mixermdm_tpu.systems import In2INSystem, MixerMDMSystem
@@ -45,7 +46,10 @@ def build_system(tiny: bool = False, quant: bool = False, steps: int | None = No
         mcfg["GENERATOR"] = Config.wrap({"NUM_LAYERS": 1, "NUM_HEADS": 2, "DROPOUT": 0.0,
                                           "INPUT_DIM": 262, "LATENT_DIM": 32, "FF_SIZE": 64})
         mcfg["DISCRIMINATOR"] = mcfg["GENERATOR"]
-        return MixerMDMSystem(mcfg, model1=m1, model2=m2, clip_cfg=clip_cfg)
+        if quant:
+            mcfg["QUANT_FROZEN"] = True
+        return MixerMDMSystem(mcfg, model1=m1, model2=m2, clip_cfg=clip_cfg,
+                              compute_dtype=compute_dtype)
 
     clip_cfg = ClipTextConfig.vit_l_14()
     m1 = In2INSystem(IN2IN_INDIVIDUAL_DEFAULT, mode="individual", clip_cfg=clip_cfg)
@@ -60,7 +64,8 @@ def build_system(tiny: bool = False, quant: bool = False, steps: int | None = No
             # --steps 1000 = the un-respaced full chain (the north-star
             # "two-person 1000-step generation" workload in BASELINE.json).
             mcfg["STRATEGY"] = f"ddim{steps}"
-    return MixerMDMSystem(mcfg, model1=m1, model2=m2, clip_cfg=clip_cfg)
+    return MixerMDMSystem(mcfg, model1=m1, model2=m2, clip_cfg=clip_cfg,
+                          compute_dtype=compute_dtype)
 
 
 def main(tiny: bool = False, repeats: int = 3, quant: bool = False,

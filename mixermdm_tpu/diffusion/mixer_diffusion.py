@@ -57,14 +57,16 @@ def process_xstart_dual(
     skipped so pred_xstart2 is raw motion (the value the loop finally returns).
     """
     B, T = mixed.shape[:2]
-    x1_1 = center_person(mixed[..., :nfeats], align)
-    x1_2 = center_person(mixed[..., nfeats:], align)
+    # One person-stacked (2B) centring call instead of two B-sized ones:
+    # fewer kernels, and the cross-T floor/heading reductions batch.
+    both = jnp.concatenate([mixed[..., :nfeats], mixed[..., nfeats:]], axis=0)
+    centred = center_person(both, align)
+    x1_1, x1_2 = centred[:B], centred[B:]
 
     def normalised(_):
-        a = normalizer1.forward(x1_1)
-        b = normalizer1.forward(x1_2)
+        ab = normalizer1.forward(centred)
         x2 = normalizer2.forward(mixed.reshape(B, T, 2, -1)).reshape(B, T, -1)
-        return jnp.concatenate([a, b], axis=-1), x2
+        return jnp.concatenate([ab[:B], ab[B:]], axis=-1), x2
 
     def raw(_):
         return jnp.concatenate([x1_1, x1_2], axis=-1), mixed

@@ -33,11 +33,20 @@ def make_adamw(
     clip_norm: float | None = 0.5,
     grad_acc_steps: int = 1,
     schedule=None,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
+    """AdamW + clip + grad accumulation (reference train/mixermdm.py:62-97).
+
+    ``mu_dtype`` stores the first moment in a reduced dtype (e.g. bf16) —
+    an HBM-traffic knob for the measured-HBM-bound training step; optax
+    casts back to the param dtype inside the update, so the math is the
+    standard Adam update on a rounded m.
+    """
     tx = []
     if clip_norm is not None:
         tx.append(optax.clip_by_global_norm(clip_norm))
-    tx.append(optax.adamw(schedule if schedule is not None else lr, weight_decay=weight_decay))
+    tx.append(optax.adamw(schedule if schedule is not None else lr,
+                          weight_decay=weight_decay, mu_dtype=mu_dtype))
     opt = optax.chain(*tx)
     if grad_acc_steps > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=grad_acc_steps)

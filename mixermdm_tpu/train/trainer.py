@@ -110,14 +110,17 @@ class MixerTrainer:
         l1: float = 0.1,
         mesh=None,
         donate: bool = False,
+        mu_dtype=None,
     ):
         self.system = system
         self.discriminator_steps = discriminator_steps
         self.loss_kw = dict(
             i_loss_factor=i_loss_factor, I_loss_factor=I_loss_factor, l1=l1
         )
-        self.opt_gen = make_adamw(lr, weight_decay, clip_norm, grad_acc_steps)
-        self.opt_disc = make_adamw(lr, weight_decay, clip_norm, grad_acc_steps)
+        self.opt_gen = make_adamw(lr, weight_decay, clip_norm, grad_acc_steps,
+                                  mu_dtype=mu_dtype)
+        self.opt_disc = make_adamw(lr, weight_decay, clip_norm, grad_acc_steps,
+                                   mu_dtype=mu_dtype)
         self.mesh = mesh
 
         # Sharding rides on the arguments: callers place the batch with

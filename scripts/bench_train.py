@@ -27,6 +27,8 @@ def main(argv=None):
                    help="also time the XLA attention-backward path")
     p.add_argument("--xla-attn", action="store_true",
                    help="time with XLA attention everywhere (no Pallas fwd)")
+    p.add_argument("--bf16-moments", action="store_true",
+                   help="store the Adam first moment in bf16 (HBM-traffic A/B)")
     args = p.parse_args(argv)
 
     import jax
@@ -46,7 +48,8 @@ def main(argv=None):
     system = build_system(tiny=args.tiny)
     params = system.init_params(jax.random.PRNGKey(0))
     trainer = MixerTrainer(system, grad_acc_steps=2, discriminator_steps=1,
-                           donate=True)
+                           donate=True,
+                           mu_dtype=jnp.bfloat16 if args.bf16_moments else None)
     state = trainer.init_state(params)
 
     rng = np.random.default_rng(0)

@@ -75,9 +75,7 @@ def main(argv=None):
     else:
         print(f"reusing trained checkpoint {final}")
 
-    system = build_system(tiny=True)
-    params = system.init_params(jax.random.PRNGKey(args.seed))
-    params = restore_checkpoint(final, params)
+    params = None  # initialised from the first arm's system (same arch)
 
     # ------------------------------------------------------------- GT fixture
     root = "/tmp/quant_ab_synth"
@@ -98,17 +96,21 @@ def main(argv=None):
     protocol = EvalProtocol()
 
     arms = {
-        "f32": dict(compute_dtype=None, quant=False),
-        "bf16": dict(compute_dtype=jnp.bfloat16, quant=False),
-        "w8a8": dict(compute_dtype=jnp.bfloat16, quant=True),
+        "f32": dict(compute_dtype="f32", quant=False),
+        "bf16": dict(compute_dtype="bf16", quant=False),
+        "w8a8": dict(compute_dtype="bf16", quant=True),
     }
     results = {}
     for name, arm in arms.items():
         print(f"=== arm {name} ===")
-        system.compute_dtype = arm["compute_dtype"]
-        system.quant_frozen = arm["quant"]
+        # Fresh system per arm: compute_dtype is baked into the mixer
+        # forward at construction time.
+        system = build_system(tiny=True, quant=arm["quant"],
+                              compute_dtype=arm["compute_dtype"])
+        if params is None:
+            params = system.init_params(jax.random.PRNGKey(args.seed))
+            params = restore_checkpoint(final, params)
         set_w8a8_min_dim(0 if arm["quant"] else 768)
-        system._jit_sample.clear()  # numeric config changed under the trace
         metrics = run_side(
             system, params, dataset, wrapper, protocol,
             individual=False, num_samples=args.num_samples,
