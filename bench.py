@@ -28,8 +28,10 @@ T = 299         # window (infer CLI default)
 DDIM_STEPS = 50
 
 
-def build_system(tiny: bool = False, quant: bool = False, steps: int | None = None,
+def build_system(tiny: bool = False, quant: bool | None = None, steps: int | None = None,
                  compute_dtype: str = "auto"):
+    """``quant=None`` keeps the config default (W8A8 ON since the quant_ab
+    acceptance gate); ``quant=False`` forces the bf16-only path."""
     from mixermdm_tpu.config import MIXERMDM_DEFAULT, IN2IN_INDIVIDUAL_DEFAULT, IN2IN_INTERACTION_DEFAULT, tiny_config
     from mixermdm_tpu.models.clip_text import ClipTextConfig
     from mixermdm_tpu.systems import In2INSystem, MixerMDMSystem
@@ -46,8 +48,8 @@ def build_system(tiny: bool = False, quant: bool = False, steps: int | None = No
         mcfg["GENERATOR"] = Config.wrap({"NUM_LAYERS": 1, "NUM_HEADS": 2, "DROPOUT": 0.0,
                                           "INPUT_DIM": 262, "LATENT_DIM": 32, "FF_SIZE": 64})
         mcfg["DISCRIMINATOR"] = mcfg["GENERATOR"]
-        if quant:
-            mcfg["QUANT_FROZEN"] = True
+        if quant is not None:
+            mcfg["QUANT_FROZEN"] = bool(quant)
         return MixerMDMSystem(mcfg, model1=m1, model2=m2, clip_cfg=clip_cfg,
                               compute_dtype=compute_dtype)
 
@@ -55,11 +57,11 @@ def build_system(tiny: bool = False, quant: bool = False, steps: int | None = No
     m1 = In2INSystem(IN2IN_INDIVIDUAL_DEFAULT, mode="individual", clip_cfg=clip_cfg)
     m2 = In2INSystem(IN2IN_INTERACTION_DEFAULT, mode="interaction", clip_cfg=clip_cfg)
     mcfg = MIXERMDM_DEFAULT
-    if quant or steps:
+    if quant is not None or steps:
         from mixermdm_tpu.config import Config
         mcfg = Config.wrap(dict(mcfg))
-        if quant:
-            mcfg["QUANT_FROZEN"] = True
+        if quant is not None:
+            mcfg["QUANT_FROZEN"] = bool(quant)
         if steps:
             # --steps 1000 = the un-respaced full chain (the north-star
             # "two-person 1000-step generation" workload in BASELINE.json).
@@ -68,7 +70,7 @@ def build_system(tiny: bool = False, quant: bool = False, steps: int | None = No
                           compute_dtype=compute_dtype)
 
 
-def main(tiny: bool = False, repeats: int = 3, quant: bool = False,
+def main(tiny: bool = False, repeats: int = 3, quant: bool | None = None,
          steps: int | None = None):
     import jax
     import jax.numpy as jnp
@@ -112,17 +114,40 @@ def main(tiny: bool = False, repeats: int = 3, quant: bool = False,
         "e2e_latency_s": round(best, 4),
     }
 
-    # MFU from the XLA cost analysis of the compiled chain (BASELINE.md
-    # tracks the 195-197 TFLOP/s bf16 ceiling measured on this chip).
+    # MFU estimate (BASELINE.md tracks the 195-197 TFLOP/s bf16 ceiling
+    # measured on this chip).  Two cost-analysis pitfalls force an indirect
+    # route: (a) the hot matmuls live inside Pallas custom calls, whose
+    # flops XLA cost analysis cannot see; (b) the DDIM chain is a lax.scan,
+    # whose body the analysis counts ONCE.  So: lower an all-XLA variant of
+    # the same chain (un-compiled HLO analysis — flops are architectural,
+    # not backend-optimised), take its per-body flops x num steps, and
+    # divide by the FUSED path's measured time.
     try:
-        jitted = next(iter(system._jit_sample.values()))
-        fiv_val = jnp.float32(0.0)
-        cost = jitted.lower(params, cond, rng, fiv_val, None, None).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
+        from functools import partial as _partial
+
+        from mixermdm_tpu.models.layers import (
+            set_fused_blocks,
+            set_pallas_attention,
+        )
+
+        set_fused_blocks(False)
+        set_pallas_attention(False)
+        try:
+            fiv_val = jnp.float32(0.0)
+            lowered = jax.jit(
+                _partial(system._sample_impl, n_frames=t,
+                         collect_influence=False, use_fiv=False)
+            ).lower(params, cond, rng, fiv_val, None, None)
+            cost = lowered.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+        finally:
+            set_fused_blocks(True)
+            set_pallas_attention(None)
         if flops > 0:
-            tflops_s = flops / best / 1e12
+            total = flops * n_steps  # scan body counted once by the analysis
+            tflops_s = total / best / 1e12
             result["tflops_per_s"] = round(tflops_s, 2)
             result["mfu_vs_bf16_peak_pct"] = round(100.0 * tflops_s / 197.0, 2)
     except Exception:
@@ -138,4 +163,9 @@ if __name__ == "__main__":
     steps = None
     if "--steps" in sys.argv:
         steps = int(sys.argv[sys.argv.index("--steps") + 1])
-    main(tiny="--tiny" in sys.argv, quant="--quant" in sys.argv, steps=steps)
+    quant = None  # config default (ON)
+    if "--quant" in sys.argv:
+        quant = True
+    if "--no-quant" in sys.argv:
+        quant = False
+    main(tiny="--tiny" in sys.argv, quant=quant, steps=steps)

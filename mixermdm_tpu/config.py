@@ -149,6 +149,12 @@ MIXERMDM_DEFAULT = Config.wrap(
         "DIFFUSION_STEPS": 1000, "BETA_SCHEDULER": "cosine", "SAMPLER": "uniform",
         "MOTION_REP": "global", "T_BAR": 700, "STRATEGY": "ddim50",
         "CFG_WEIGHT": 3.5, "MIXING_MODE": 4, "FORCE_INFLUENCE_VAL": None,
+        # W8A8 int8 projections for the frozen denoisers at sampling time.
+        # DEFAULT ON since the distribution-level acceptance A/B
+        # (scripts/quant_ab.py, recorded in BASELINE.md): FID delta vs f32 is
+        # +0.0027 — the same magnitude as bf16's -0.0020, i.e. int8 noise is
+        # indistinguishable from the accepted mixed-precision noise.
+        "QUANT_FROZEN": True,
     }
 )
 

@@ -5,24 +5,28 @@ gate for defaulting quant on is a *distribution-level* metric (FID).  The
 released checkpoints are unfetchable in this environment, so this script
 builds the stand-in gate end-to-end on synthetic data:
 
-1. trains the tiny mixer on the synthetic InterHuman fixture for a few
-   hundred steps (CPU: minutes) so the mixer/influence weights are
-   non-degenerate,
-2. generates the tiny eval protocol's sample set under three numeric
+1. builds a SMALL-but-fusable mixer stack (128-d denoisers — the int8 fused
+   kernels need 128-multiple widths, so the 32-wide test config can never
+   exercise them; 128 is the smallest production-shaped width),
+2. trains it adversarially on the synthetic InterHuman fixture for a few
+   hundred steps so the mixer/influence weights are non-degenerate,
+3. generates the tiny eval protocol's sample set under three numeric
    configurations — **f32**, **bf16** (the production default compute
-   dtype), and **w8a8** (QUANT_FROZEN with the width gate forced open so the
-   tiny 32-wide layers actually run int8),
-3. scores each against the same GT set with the same seeds and a fixed
+   dtype), and **w8a8** (QUANT_FROZEN with the width gate forced down to
+   128 so the small denoisers actually run int8),
+4. scores each against the same GT set with the same seeds and a fixed
    random-init InterCLIP feature map (identical featurizer for all arms, so
-   metric DELTAS between arms are meaningful even though absolute values are
-   not paper numbers),
-4. prints a metric table + deltas vs f32 and writes ``quant_ab.json``.
+   metric DELTAS between arms are meaningful even though absolute values
+   are not paper numbers),
+5. prints a metric table + deltas vs f32 and writes ``quant_ab.json``.
 
-Run:  python scripts/quant_ab.py [--train-steps 300] [--out quant_ab.json]
-The decision rule (recorded in BASELINE.md): w8a8 is acceptable to default
-on when its FID delta vs f32 is within the bf16-vs-f32 delta's order of
-magnitude — i.e. quantisation noise must not dominate the already-accepted
-mixed-precision noise at the distribution level.
+Must run on TPU (the int8 path lives in the Pallas fused kernels).
+
+Run:  python scripts/quant_ab.py [--train-steps 200] [--out quant_ab.json]
+Decision rule (recorded in BASELINE.md): w8a8 is acceptable to default on
+when its FID delta vs f32 is within ~an order of magnitude of the
+bf16-vs-f32 delta — quantisation noise must not dominate the already-
+accepted mixed-precision noise at the distribution level.
 """
 
 from __future__ import annotations
@@ -34,59 +38,101 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+LATENT = 128
+T_WINDOW = 32
+
+
+def make_system(compute_dtype: str, quant: bool):
+    from mixermdm_tpu.config import Config, tiny_config
+    from mixermdm_tpu.models.clip_text import ClipTextConfig
+    from mixermdm_tpu.systems import In2INSystem, MixerMDMSystem
+
+    clip_cfg = ClipTextConfig.tiny()
+    c = tiny_config(latent=LATENT, layers=2, heads=2, diffusion_steps=50)
+    c["STRATEGY"] = "ddim10"  # tiny_config's 50//4 stride does not divide 50
+    m1 = In2INSystem(c, mode="individual", clip_cfg=clip_cfg)
+    m2 = In2INSystem(c, mode="interaction", clip_cfg=clip_cfg)
+    mcfg = Config.wrap(
+        {
+            "NAME": "MixerMDM",
+            "GENERATOR": {"NUM_LAYERS": 2, "NUM_HEADS": 2, "DROPOUT": 0.0,
+                          "INPUT_DIM": 262, "LATENT_DIM": LATENT,
+                          "FF_SIZE": 2 * LATENT},
+            "DISCRIMINATOR": {"NUM_LAYERS": 1, "NUM_HEADS": 2, "DROPOUT": 0.0,
+                              "INPUT_DIM": 262, "LATENT_DIM": 64, "FF_SIZE": 128},
+            "ACTIVATION": "gelu", "DIFFUSION_STEPS": 50,
+            "BETA_SCHEDULER": "cosine", "SAMPLER": "uniform",
+            "MOTION_REP": "global", "T_BAR": 25, "STRATEGY": "ddim10",
+            "CFG_WEIGHT": 3.5, "MIXING_MODE": 4, "FORCE_INFLUENCE_VAL": None,
+            "QUANT_FROZEN": quant,
+        }
+    )
+    return MixerMDMSystem(mcfg, model1=m1, model2=m2, clip_cfg=clip_cfg,
+                          compute_dtype=compute_dtype)
+
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--train-steps", type=int, default=300)
+    parser.add_argument("--train-steps", type=int, default=200)
     parser.add_argument("--num-samples", type=int, default=16)
     parser.add_argument("--batch-size", type=int, default=4)
     parser.add_argument("--out", type=str, default="quant_ab.json")
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--cpu", action="store_true",
-                        help="force the CPU backend (default: whatever jax picks)")
     args = parser.parse_args(argv)
 
-    if args.cpu:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
-    from bench import build_system
-    from mixermdm_tpu.cli.train_mixermdm import main as train_main
     from mixermdm_tpu.config import Config
-    from mixermdm_tpu.data import InterHumanDataset, make_interhuman_fixture
+    from mixermdm_tpu.data import DataLoader, InterHumanDataset, make_interhuman_fixture
     from mixermdm_tpu.eval import EvalProtocol, EvaluatorWrapper
     from mixermdm_tpu.eval.driver import run_side
     from mixermdm_tpu.eval.interclip import InterCLIP
     from mixermdm_tpu.models.layers import set_w8a8_min_dim
     from mixermdm_tpu.models.torch_compat import TorchEncoder
-    from mixermdm_tpu.train.checkpoint import restore_checkpoint
+    from mixermdm_tpu.train.trainer import MixerTrainer
+    from mixermdm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     # ------------------------------------------------------------------ train
-    ckpt_dir = "/tmp/quant_ab_train"
-    final = os.path.join(ckpt_dir, "final")
-    if not os.path.isdir(final):
-        print(f"training tiny mixer for {args.train_steps} steps ...")
-        train_main(["--tiny", "--out-dir", ckpt_dir,
-                    "--max-steps", str(args.train_steps)])
-    else:
-        print(f"reusing trained checkpoint {final}")
-
-    params = None  # initialised from the first arm's system (same arch)
-
-    # ------------------------------------------------------------- GT fixture
     root = "/tmp/quant_ab_synth"
-    make_interhuman_fixture(root, n_clips=args.num_samples, n_frames=40)
-    dataset = InterHumanDataset(root, mode="test", max_gt_length=32)
-    if len(dataset) == 0:  # fixture may only write a train split
-        dataset = InterHumanDataset(root, mode="train", max_gt_length=32)
+    make_interhuman_fixture(root, n_clips=max(8, args.num_samples),
+                            n_frames=40, test_all=True)
+    train_sys = make_system("bf16", quant=False)
+    params = train_sys.init_params(jax.random.PRNGKey(args.seed))
 
-    # Fixed random featurizer shared by every arm.
+    dataset = InterHumanDataset(root, mode="train", max_gt_length=T_WINDOW)
+    loader = DataLoader(dataset, batch_size=4, seed=args.seed)
+    trainer = MixerTrainer(train_sys, grad_acc_steps=1, discriminator_steps=1)
+    state = trainer.init_state(params)
+    print(f"training small mixer ({LATENT}-d) for {args.train_steps} steps ...")
+    step = 0
+    rng = jax.random.PRNGKey(args.seed + 7)
+    while step < args.train_steps:
+        for batch in loader:
+            toks = train_sys.tokenize_batch(batch)
+            dev_batch = {
+                "motions": np.asarray(batch["motions"], np.float32),
+                "motion_lens": np.asarray(batch["motion_lens"]),
+                "tokens_inter": np.asarray(toks["tokens_inter"]),
+                "tokens_i1": np.asarray(toks["tokens_i1"]),
+                "tokens_i2": np.asarray(toks["tokens_i2"]),
+            }
+            state, g_losses, _ = trainer.fit_step(
+                state, dev_batch, jax.random.fold_in(rng, step), step
+            )
+            step += 1
+            if step % 50 == 0:
+                print(f"  step {step}: g_total={float(g_losses['total']):.4f}")
+            if step >= args.train_steps:
+                break
+    params = jax.device_get(state.params)
+
+    # ------------------------------------------------------------------- eval
+    gt = InterHumanDataset(root, mode="test", max_gt_length=T_WINDOW)
     icfg = Config.wrap(
-        {"INPUT_DIM": 258, "LATENT_DIM": 32, "FF_SIZE": 64, "NUM_LAYERS": 1,
+        {"INPUT_DIM": 258, "LATENT_DIM": 64, "FF_SIZE": 128, "NUM_LAYERS": 1,
          "NUM_HEADS": 2, "DROPOUT": 0.0, "MODE": "interaction"}
     )
     evaluator = InterCLIP(icfg, text_width=64)
@@ -103,18 +149,12 @@ def main(argv=None):
     results = {}
     for name, arm in arms.items():
         print(f"=== arm {name} ===")
-        # Fresh system per arm: compute_dtype is baked into the mixer
-        # forward at construction time.
-        system = build_system(tiny=True, quant=arm["quant"],
-                              compute_dtype=arm["compute_dtype"])
-        if params is None:
-            params = system.init_params(jax.random.PRNGKey(args.seed))
-            params = restore_checkpoint(final, params)
-        set_w8a8_min_dim(0 if arm["quant"] else 768)
+        system = make_system(arm["compute_dtype"], arm["quant"])
+        set_w8a8_min_dim(LATENT if arm["quant"] else 768)
         metrics = run_side(
-            system, params, dataset, wrapper, protocol,
+            system, params, gt, wrapper, protocol,
             individual=False, num_samples=args.num_samples,
-            batch_size=args.batch_size, max_frames=32,
+            batch_size=args.batch_size, max_frames=T_WINDOW,
             replications=1, seed=args.seed, mm_num_samples=0,
             model_name=name,
         )

@@ -165,7 +165,7 @@ class TestShippedConfigs:
         os.chdir(root)  # MODEL1/MODEL2 paths are repo-relative
         system = build_system("configs/models/MixerMDM.yaml")
         assert float(system.cfg_weight) == 3.5
-        assert system.quant_frozen is False
+        assert system.quant_frozen is True  # default-on since the quant_ab gate
         assert int(system.cfg.GENERATOR.LATENT_DIM) == 512
         # yaml.safe_load alone would read FORCE_INFLUENCE_VAL: None as the
         # STRING "None" (yacs literal_evals it); the loader must coerce it,
