@@ -70,6 +70,57 @@ def build_system(tiny: bool = False, quant: bool | None = None, steps: int | Non
                           compute_dtype=compute_dtype)
 
 
+
+
+def estimate_chain_flops(system, B: int, T: int) -> float:
+    """Analytic matmul FLOPs of one full sampling call (all steps).
+
+    Counts the dominant dense ops of the per-step mixer forward at the
+    CFG-doubled batch: the two frozen in2IN denoisers, the mixer/influence
+    core, and the stream embeddings; elementwise geometry is ignored
+    (<<1% of FLOPs).  2*M*N*K per (M,K)x(K,N) matmul.
+    """
+    def proj(tokens, k, n):
+        return 2.0 * tokens * k * n
+
+    def sa(tokens, T_seq, E):
+        # q,k,v,out projections + qk^T + av
+        return 4 * proj(tokens, E, E) + 2 * (tokens * T_seq * E) * 2
+
+    def ffn(tokens, E, FF):
+        return proj(tokens, E, FF) + proj(tokens, FF, E)
+
+    cfg1 = system.model1.cfg   # individual denoiser
+    cfg2 = system.model2.cfg   # interaction denoiser
+    g = system.cfg.GENERATOR
+    F = int(system.nfeats)
+
+    Bc = 2 * B                        # CFG cond/uncond batching
+    n_steps = system.sample_schedule.num_timesteps
+
+    # individual denoiser: person-stacked 2*Bc batch, blocks = SA + FFN
+    E1, FF1, L1 = int(cfg1.LATENT_DIM), int(cfg1.FF_SIZE), int(cfg1.NUM_LAYERS)
+    tok1 = 2 * Bc * T
+    den1 = L1 * (sa(tok1, T, E1) + ffn(tok1, E1, FF1))
+    den1 += proj(tok1, F, E1) + proj(tok1, E1, F)          # in/out process
+
+    # interaction denoiser: Bc batch, two person streams, SA + CA + FFN each
+    E2, FF2, L2 = int(cfg2.LATENT_DIM), int(cfg2.FF_SIZE), int(cfg2.NUM_LAYERS)
+    tok2 = 2 * Bc * T                                       # 2 streams
+    den2 = L2 * (sa(tok2, T, E2) + sa(tok2, T, E2) + ffn(tok2, E2, FF2))
+    den2 += proj(tok2, F, E2) + proj(tok2, E2, F)
+
+    # mixer / influence core: 4 stream embeddings + per-person stacks of
+    # InfluenceBlockCross (SA + CA + FFN) + the 23-way head
+    Eg, FFg, Lg = int(g.LATENT_DIM), int(g.FF_SIZE), int(g.NUM_LAYERS)
+    tokg = Bc * T
+    core = 4 * proj(tokg, F, Eg)                            # stream embeds
+    per_person = Lg * (2 * sa(tokg, T, Eg) + ffn(tokg, Eg, FFg))
+    core += 2 * per_person
+    core += 2 * proj(tokg, Eg, 23)
+
+    return float(n_steps) * (den1 + den2 + core)
+
 def main(tiny: bool = False, repeats: int = 3, quant: bool | None = None,
          steps: int | None = None):
     import jax
@@ -115,43 +166,22 @@ def main(tiny: bool = False, repeats: int = 3, quant: bool | None = None,
     }
 
     # MFU estimate (BASELINE.md tracks the 195-197 TFLOP/s bf16 ceiling
-    # measured on this chip).  Two cost-analysis pitfalls force an indirect
-    # route: (a) the hot matmuls live inside Pallas custom calls, whose
-    # flops XLA cost analysis cannot see; (b) the DDIM chain is a lax.scan,
-    # whose body the analysis counts ONCE.  So: lower an all-XLA variant of
-    # the same chain (un-compiled HLO analysis — flops are architectural,
-    # not backend-optimised), take its per-body flops x num steps, and
-    # divide by the FUSED path's measured time.
+    # measured on this chip).  Neither backend cost analysis works here: the
+    # hot matmuls live inside Pallas custom calls (invisible to XLA cost
+    # analysis), the chain is a lax.scan (body counted once), and the axon
+    # backend returns None from Lowered.cost_analysis().  So count the
+    # architecture's matmul FLOPs analytically.
     try:
-        from functools import partial as _partial
+        tflops = estimate_chain_flops(system, b, t) / 1e12
+        tflops_s = tflops / best
+        result["model_tflops"] = round(tflops, 2)
+        result["tflops_per_s"] = round(tflops_s, 2)
+        result["mfu_vs_bf16_peak_pct"] = round(100.0 * tflops_s / 197.0, 2)
+    except Exception as e:
+        import sys as _sys
 
-        from mixermdm_tpu.models.layers import (
-            set_fused_blocks,
-            set_pallas_attention,
-        )
-
-        set_fused_blocks(False)
-        set_pallas_attention(False)
-        try:
-            fiv_val = jnp.float32(0.0)
-            lowered = jax.jit(
-                _partial(system._sample_impl, n_frames=t,
-                         collect_influence=False, use_fiv=False)
-            ).lower(params, cond, rng, fiv_val, None, None)
-            cost = lowered.cost_analysis()
-            if isinstance(cost, (list, tuple)):
-                cost = cost[0]
-            flops = float(cost.get("flops", 0.0))
-        finally:
-            set_fused_blocks(True)
-            set_pallas_attention(None)
-        if flops > 0:
-            total = flops * n_steps  # scan body counted once by the analysis
-            tflops_s = total / best / 1e12
-            result["tflops_per_s"] = round(tflops_s, 2)
-            result["mfu_vs_bf16_peak_pct"] = round(100.0 * tflops_s / 197.0, 2)
-    except Exception:
-        pass  # cost analysis is best-effort (backend-dependent)
+        print(f"(mfu estimate unavailable: {type(e).__name__}: {e})",
+              file=_sys.stderr)
 
     print(json.dumps(result))
     return result
