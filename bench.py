@@ -122,13 +122,20 @@ def estimate_chain_flops(system, B: int, T: int) -> float:
     return float(n_steps) * (den1 + den2 + core)
 
 def main(tiny: bool = False, repeats: int = 3, quant: bool | None = None,
-         steps: int | None = None):
+         steps: int | None = None, quant_min_dim: int | None = None):
     import jax
     import jax.numpy as jnp
 
     from mixermdm_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if quant_min_dim is not None:
+        # Experiment knob: lower the int8 width gate (default 768) so the
+        # E=512 mixer/influence core also quantises (VERDICT r2 item 10).
+        from mixermdm_tpu.models.layers import set_w8a8_min_dim
+
+        set_w8a8_min_dim(quant_min_dim)
 
     system = build_system(tiny, quant=quant, steps=steps)
     params = system.init_params(jax.random.PRNGKey(0))
@@ -198,4 +205,7 @@ if __name__ == "__main__":
         quant = True
     if "--no-quant" in sys.argv:
         quant = False
-    main(tiny="--tiny" in sys.argv, quant=quant, steps=steps)
+    qmd = None
+    if "--quant-min-dim" in sys.argv:
+        qmd = int(sys.argv[sys.argv.index("--quant-min-dim") + 1])
+    main(tiny="--tiny" in sys.argv, quant=quant, steps=steps, quant_min_dim=qmd)
