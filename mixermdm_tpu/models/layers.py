@@ -58,9 +58,13 @@ def set_fused_blocks(enabled: bool) -> None:
 _W8A8: bool = False
 
 # Width gate: int8 only pays where the matmuls dominate the per-row
-# activation-quant VPU overhead.  Measured on the bench workload: E=1024
-# denoisers +25%, E=512 mixer core -2% — so sub-768 layers stay bf16.
-_W8A8_MIN_DIM = 768
+# activation-quant VPU overhead.  Measured on the bench workload (round 3,
+# in-kernel-residual fused kernels): E>=512 (denoisers + mixer core) 6.99
+# samples/sec vs 6.86 at a 768 gate; a 256 gate adds nothing further.  The
+# round-2 "-2% at E=512" result predates the fused residual path and is
+# superseded.  Distribution-level acceptance (scripts/quant_ab.py) ran with
+# the gate forced to 128 — a superset of this default.
+_W8A8_MIN_DIM = 512
 
 
 def _w8a8_for(latent_dim: int) -> bool:
@@ -70,7 +74,7 @@ def _w8a8_for(latent_dim: int) -> bool:
 def set_w8a8_min_dim(n: int) -> None:
     """Override the int8 width gate (experiments only — e.g. the
     distribution-level quant A/B forces int8 onto tiny test models where the
-    default >=768 gate would never engage)."""
+    default >=512 gate would never engage)."""
     global _W8A8_MIN_DIM
     _W8A8_MIN_DIM = n
 

@@ -88,7 +88,9 @@ def main(argv=None):
     from mixermdm_tpu.eval import EvalProtocol, EvaluatorWrapper
     from mixermdm_tpu.eval.driver import run_side
     from mixermdm_tpu.eval.interclip import InterCLIP
+    from mixermdm_tpu.models import layers as _L
     from mixermdm_tpu.models.layers import set_w8a8_min_dim
+    _DEFAULT_GATE = _L._W8A8_MIN_DIM
     from mixermdm_tpu.models.torch_compat import TorchEncoder
     from mixermdm_tpu.train.trainer import MixerTrainer
     from mixermdm_tpu.utils.cache import enable_compilation_cache
@@ -150,7 +152,7 @@ def main(argv=None):
     for name, arm in arms.items():
         print(f"=== arm {name} ===")
         system = make_system(arm["compute_dtype"], arm["quant"])
-        set_w8a8_min_dim(LATENT if arm["quant"] else 768)
+        set_w8a8_min_dim(LATENT if arm["quant"] else _DEFAULT_GATE)
         metrics = run_side(
             system, params, gt, wrapper, protocol,
             individual=False, num_samples=args.num_samples,
@@ -164,7 +166,7 @@ def main(argv=None):
             "R_precision_top1": float(np.mean(metrics["R_precision_top1"][name])),
             "Diversity": float(np.mean(metrics["Diversity"][name])),
         }
-    set_w8a8_min_dim(768)
+    set_w8a8_min_dim(_DEFAULT_GATE)
 
     table = {"arms": results, "deltas_vs_f32": {}}
     for name in ("bf16", "w8a8"):
