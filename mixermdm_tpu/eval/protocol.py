@@ -187,7 +187,11 @@ def calculate_f_score(metrics_interaction: dict, metrics_individual: dict,
         for (name_i, vals_i), (name_h, vals_h) in zip(md_i.items(), md_h.items()):
             mean_i, ci_i = get_metric_statistics(np.asarray(vals_i), replication_times)
             mean_h, ci_h = get_metric_statistics(np.asarray(vals_h), replication_times)
-            f = 2 * mean_i * mean_h / (mean_i + mean_h)
+            # The reference's bare harmonic mean returns nan when both sides
+            # are exactly 0 (degenerate generations, e.g. untrained weights
+            # in the full-size dry run); define the 0/0 limit as 0.
+            denom = mean_i + mean_h
+            f = 2 * mean_i * mean_h / denom if denom != 0 else 0.0
             out[metric_name][name_i] = (f, (ci_i + ci_h) / 2)
     return out
 

@@ -1,3 +1,21 @@
-from .mesh import data_sharded, make_mesh, replicate, replicated, shard_batch
+from .mesh import (
+    data_sharded,
+    make_mesh,
+    make_mesh_2d,
+    replicate,
+    replicated,
+    shard_batch,
+    tp_shard_params,
+    tp_spec,
+)
 
-__all__ = ["data_sharded", "make_mesh", "replicate", "replicated", "shard_batch"]
+__all__ = [
+    "data_sharded",
+    "make_mesh",
+    "make_mesh_2d",
+    "replicate",
+    "replicated",
+    "shard_batch",
+    "tp_shard_params",
+    "tp_spec",
+]

@@ -6,6 +6,14 @@ a 1-D ``jax.sharding.Mesh`` over the ``data`` axis, params replicated,
 batches sharded — XLA SPMD inserts the gradient ``psum`` over ICI where DDP
 would all-reduce over NCCL.  Multi-host extends the same mesh over DCN via
 ``jax.distributed.initialize`` (no code changes in the train step).
+
+Beyond parity, ``make_mesh_2d`` + ``tp_shard_params`` add Megatron-style
+tensor parallelism over a second ``model`` axis (column-parallel q/k/v +
+FFN-up, row-parallel out/FFN-down; GSPMD inserts the per-layer psums).
+Sharding stays a pure layout change: the TP tests assert bitwise-equal
+losses, updates and samples vs the replicated dp path.  TP rides the XLA
+compute path — the Pallas fused kernels are single-chip programs, so
+``fused_scope``/quant stay off when a model axis is in play.
 """
 
 from __future__ import annotations
@@ -42,11 +50,44 @@ def initialize_distributed(
     jax.distributed.initialize(**kwargs)
 
 
+# Mesh construction is memoised: a Mesh is an immutable device-layout
+# descriptor, and XLA:CPU's in-process collectives (the virtual-device test
+# mesh) key their rendezvous per communicator instance — running a SECOND
+# freshly-built identical mesh's subset collectives in one process can
+# deadlock-abort (observed: two sequential dp x tp training programs on two
+# fresh 4x2 meshes; reusing the Mesh object is clean).  On real TPU this
+# costs nothing and avoids duplicated communicator setup.
+_MESH_CACHE: dict = {}
+
+
+def _mesh(devices: np.ndarray, axes: tuple) -> Mesh:
+    key = (tuple(devices.flat), devices.shape, tuple(axes))
+    mesh = _MESH_CACHE.get(key)
+    if mesh is None:
+        mesh = _MESH_CACHE.setdefault(key, Mesh(devices, axes))
+    return mesh
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (axis,))
+    return _mesh(np.asarray(devices), (axis,))
+
+
+def make_mesh_2d(
+    n_data: int, n_model: int, axes: tuple = ("data", "model")
+) -> Mesh:
+    """2-D dp x tp mesh.  The model axis is the FAST (innermost) axis so
+    tensor-parallel collectives (the per-layer ``psum`` of row-parallel
+    matmul partials) ride neighbouring ICI links while the data axis'
+    once-per-step gradient psum spans the slower hops."""
+    devices = jax.devices()[: n_data * n_model]
+    if len(devices) < n_data * n_model:
+        raise RuntimeError(
+            f"need {n_data * n_model} devices, have {len(devices)}"
+        )
+    return _mesh(np.asarray(devices).reshape(n_data, n_model), axes)
 
 
 def make_data_mesh_for_batch(batch_size: int, axis: str = "data") -> Mesh:
@@ -73,3 +114,75 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
 
 def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, replicated(mesh)), tree)
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism (Megatron-style) over the "model" mesh axis.
+#
+# Every transformer stack in the framework (denoisers, discriminators,
+# influence net, CLIP towers, post-encoders) uses the same leaf names, so one
+# name-driven rule shards them all:
+#
+#   column-parallel (split OUTPUT features; activations become
+#   head/hidden-sharded, no communication on entry):
+#       q_proj / k_proj / v_proj   attention input projections
+#       linear1 / c_fc             FFN up-projections
+#   row-parallel (split INPUT features; XLA inserts the psum that reduces
+#   the partial products back to a replicated activation):
+#       out_proj                   attention output projection
+#       linear2 / c_proj           FFN down-projections
+#
+# Everything else (LayerNorm/AdaLN params, embeddings, IO heads) stays
+# replicated, so normalisations act on full feature vectors locally — the
+# classic Megatron sandwich.  GSPMD propagates the kernel shardings through
+# the (B,T,E)->(B,H,T,Dh) head reshapes, which is why the head count must be
+# divisible by the model-axis size; leaves whose shard dim is not divisible
+# fall back to replicated (tiny models, odd feature widths).
+# ---------------------------------------------------------------------------
+
+_COLUMN_PARALLEL = frozenset({"q_proj", "k_proj", "v_proj", "linear1", "c_fc"})
+_ROW_PARALLEL = frozenset({"out_proj", "linear2", "c_proj"})
+
+
+def tp_spec(path, leaf, n_model: int, model_axis: str = "model") -> P:
+    """PartitionSpec for one param leaf under tensor parallelism.
+
+    ``path`` is a jax key path (tree_map_with_path).  Kernels are
+    ``(..., in, out)`` (optionally scan-stacked with a leading layer dim),
+    biases ``(..., out)``.
+    """
+    names = [getattr(k, "key", str(k)) for k in path]
+    if len(names) < 2:
+        return P()
+    parent, leafname = names[-2], names[-1]
+    ndim = leaf.ndim
+
+    def shard_dim(d: int) -> P:
+        if leaf.shape[d] % n_model != 0:
+            return P()
+        spec = [None] * ndim
+        spec[d] = model_axis
+        return P(*spec)
+
+    if parent in _COLUMN_PARALLEL:
+        # kernel (..., in, out) and bias (..., out): split the output dim.
+        return shard_dim(ndim - 1)
+    if parent in _ROW_PARALLEL:
+        if leafname == "kernel" and ndim >= 2:
+            return shard_dim(ndim - 2)  # split the input dim
+        return P()  # bias adds AFTER the psum: replicated
+    return P()
+
+
+def tp_shard_params(params, mesh: Mesh, model_axis: str = "model"):
+    """Place a param tree with Megatron TP shardings over ``mesh``'s model
+    axis (non-shardable leaves replicate).  Shard BEFORE building optimizer
+    state so the moments inherit the same layout."""
+    n_model = mesh.shape[model_axis]
+
+    def place(path, x):
+        return jax.device_put(
+            x, NamedSharding(mesh, tp_spec(path, x, n_model, model_axis))
+        )
+
+    return jax.tree_util.tree_map_with_path(place, params)

@@ -5,7 +5,14 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from mixermdm_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from mixermdm_tpu.parallel.mesh import (
+    make_mesh,
+    make_mesh_2d,
+    replicate,
+    shard_batch,
+    tp_shard_params,
+    tp_spec,
+)
 
 
 @pytest.fixture(scope="module")
@@ -26,6 +33,101 @@ class TestMesh:
         dev = replicate(p, mesh)
         assert len(dev["w"].addressable_shards) == 8
         assert all(s.data.shape == (3, 3) for s in dev["w"].addressable_shards)
+
+
+class TestTensorParallel:
+    """Megatron-style dp x tp over a 2-D mesh must be a pure layout change:
+    bitwise-equal losses, updates and samples vs the replicated dp path."""
+
+    def _batch(self, system, mesh, B=8, T=12):
+        ctx = system.text.clip_cfg.context_length
+        tok = np.zeros((B, ctx), np.int32)
+        tok[:, 0], tok[:, 1] = 49406, 49407
+        return shard_batch(
+            {
+                "motions": (np.random.default_rng(0)
+                            .standard_normal((B, T, 524)).astype(np.float32) * 0.1),
+                "motion_lens": np.asarray([T - 2] * B),
+                "tokens_inter": tok, "tokens_i1": tok, "tokens_i2": tok,
+            },
+            mesh,
+        )
+
+    def test_tp_spec_rules(self):
+        q = jnp.zeros((2, 32, 32))
+        assert tp_spec([jax.tree_util.DictKey("q_proj"),
+                        jax.tree_util.DictKey("kernel")], q, 2) \
+            == jax.sharding.PartitionSpec(None, None, "model")
+        out = tp_spec([jax.tree_util.DictKey("out_proj"),
+                       jax.tree_util.DictKey("kernel")], q, 2)
+        assert out == jax.sharding.PartitionSpec(None, "model", None)
+        # out_proj bias adds after the psum: replicated.
+        b = jnp.zeros((2, 32))
+        assert tp_spec([jax.tree_util.DictKey("out_proj"),
+                        jax.tree_util.DictKey("bias")], b, 2) \
+            == jax.sharding.PartitionSpec()
+        # Non-divisible dims fall back to replicated.
+        odd = jnp.zeros((2, 32, 23))
+        assert tp_spec([jax.tree_util.DictKey("q_proj"),
+                        jax.tree_util.DictKey("kernel")], odd, 2) \
+            == jax.sharding.PartitionSpec()
+
+    def test_tp_training_step_matches_dp(self):
+        from mixermdm_tpu.train.trainer import MixerTrainer
+        import __graft_entry__ as ge
+
+        system = ge._tiny_system()
+        params = system.init_params(jax.random.PRNGKey(0))
+
+        def run(mesh, tp):
+            trainer = MixerTrainer(system, grad_acc_steps=1, mesh=mesh)
+            p = tp_shard_params(params, mesh) if tp else replicate(params, mesh)
+            state = trainer.init_state(p)
+            state, g, d = trainer.fit_step(
+                state, self._batch(system, mesh), jax.random.PRNGKey(1),
+                batch_idx=0,
+            )
+            return g, d, state
+
+        g1, d1, s1 = run(make_mesh(8), tp=False)
+        g2, d2, s2 = run(make_mesh_2d(4, 2), tp=True)
+        assert float(g1["total"]) == float(g2["total"])
+        assert float(d1["total"]) == float(d2["total"])
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_tp_params_actually_sharded(self):
+        import __graft_entry__ as ge
+
+        system = ge._tiny_system()
+        params = system.init_params(jax.random.PRNGKey(0))
+        mesh = make_mesh_2d(4, 2)
+        sharded = tp_shard_params(params, mesh)
+        qkv = sharded["model2"]["denoiser_interaction"]["blocks"]["block"][
+            "sa_block"]["attention"]["q_proj"]["kernel"]
+        # Column-parallel: each device holds half the output features.
+        assert {s.data.shape for s in qkv.addressable_shards} \
+            == {(qkv.shape[0], qkv.shape[1], qkv.shape[2] // 2)}
+
+    def test_tp_sampling_matches_dp(self):
+        from tests.test_systems import tiny_mixer
+
+        sys_ = tiny_mixer()
+        params = sys_.init_params(jax.random.PRNGKey(0))
+        B, T = 8, 12
+        cond = np.random.default_rng(1).standard_normal(
+            (B, 8 * sys_.text_dim)).astype(np.float32)
+
+        mesh1 = make_mesh(8)
+        out1 = sys_.sample(replicate(params, mesh1),
+                           shard_batch({"c": cond}, mesh1)["c"],
+                           T, jax.random.PRNGKey(2))
+        mesh2 = make_mesh_2d(4, 2)
+        out2 = sys_.sample(tp_shard_params(params, mesh2),
+                           shard_batch({"c": cond}, mesh2)["c"],
+                           T, jax.random.PRNGKey(2))
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
 
 class TestMultiDeviceTraining:
