@@ -79,7 +79,17 @@ def main(argv=None):
     parser.add_argument("--skip-timesteps", type=int, default=0,
                         help="drop the first N (respaced) denoising steps; "
                              "with no --warm-start a zero motion is used")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel degree: shard attention/FFN "
+                             "params over a 'model' mesh axis (Megatron), "
+                             "remaining devices form the data axis; forces "
+                             "the GSPMD-partitionable XLA-only compute path")
     args = parser.parse_args(argv)
+
+    if args.tp > 1:
+        from ..models.layers import set_xla_only
+
+        set_xla_only(True)
 
     import jax
 
@@ -134,7 +144,24 @@ def main(argv=None):
     if args.skip_timesteps:
         sample_kwargs["skip_timesteps"] = args.skip_timesteps
 
-    if len(jax.devices()) > 1 and B % len(jax.devices()) == 0:
+    if args.tp > 1:
+        # dp x tp generation: params Megatron-sharded over the model axis,
+        # the sample batch over the data axis.
+        from ..parallel.mesh import data_sharded, make_mesh_2d, tp_shard_params
+
+        n_avail = len(jax.devices())
+        if n_avail % args.tp:
+            raise SystemExit(f"--tp {args.tp} does not divide {n_avail} devices")
+        n_data = max(d for d in range(1, n_avail // args.tp + 1) if B % d == 0)
+        mesh = make_mesh_2d(n_data, args.tp)
+        params = tp_shard_params(params, mesh)
+        cond = jax.device_put(system.generate_cond(params, batch),
+                              data_sharded(mesh))
+        sampled, infl = system.sample(params, cond, window, rng,
+                                      collect_influence=True, **sample_kwargs)
+        out = {"output": sampled, "influence_i1": infl[0],
+               "influence_i2": infl[1]}
+    elif len(jax.devices()) > 1 and B % len(jax.devices()) == 0:
         # Data-parallel generation: params replicated, the per-prompt sample
         # batch sharded over the device mesh (samples are independent).
         from ..parallel.mesh import data_sharded, make_mesh, replicate

@@ -25,6 +25,11 @@ def main(argv=None):
     parser.add_argument("--resume", type=str, default=None)
     parser.add_argument("--tiny", action="store_true", help="tiny synthetic smoke run")
     parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel degree: shard attention/FFN "
+                             "params over a 'model' mesh axis (Megatron), "
+                             "remaining devices form the data axis; forces "
+                             "the GSPMD-partitionable XLA-only compute path")
     args = parser.parse_args(argv)
 
     import jax
@@ -58,7 +63,21 @@ def main(argv=None):
     rng, init_rng = jax.random.split(rng)
     params = system.init_params(init_rng)
 
-    mesh = make_data_mesh_for_batch(batch_size)
+    if args.tp > 1:
+        # dp x tp: the Pallas/int8 kernels are single-chip programs, so the
+        # whole trace must stay XLA for GSPMD to partition it.
+        from ..models.layers import set_xla_only
+        from ..parallel.mesh import make_mesh_2d
+
+        set_xla_only(True)
+        n_avail = len(jax.devices())
+        if n_avail % args.tp:
+            raise SystemExit(f"--tp {args.tp} does not divide {n_avail} devices")
+        n_data = max(d for d in range(1, n_avail // args.tp + 1)
+                     if batch_size % d == 0)
+        mesh = make_mesh_2d(n_data, args.tp)
+    else:
+        mesh = make_data_mesh_for_batch(batch_size)
     trainer = MixerTrainer(
         system,
         lr=float(tr.LR),
@@ -92,7 +111,16 @@ def main(argv=None):
             state = state._replace(
                 params=restore_checkpoint(args.resume, state.params)
             )
-    state = state._replace(params=replicate(state.params, mesh))
+    if args.tp > 1:
+        # Shard the WHOLE train state: the name-driven TP rule keys on the
+        # trailing (parent, leaf) path names, so the Adam moments (mu/nu
+        # mirror the param tree) land in the same layout as their params;
+        # scalars and non-matching leaves replicate.
+        from ..parallel.mesh import tp_shard_params
+
+        state = tp_shard_params(state, mesh)
+    else:
+        state = state._replace(params=replicate(state.params, mesh))
 
     dataset = InterHumanDataset(args.data_root, mode="train", max_gt_length=max_frames)
     if len(dataset) == 0:

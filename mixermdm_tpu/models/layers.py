@@ -29,6 +29,25 @@ import jax.numpy as jnp
 import flax.linen as nn
 from jax.nn import silu
 
+# Master XLA-only switch: a model-sharded run (Megatron tensor parallelism
+# over a "model" mesh axis, parallel/mesh.tp_shard_params) needs the whole
+# forward to be GSPMD-partitionable XLA — the Pallas kernels and the int8
+# custom paths are single-chip programs.  When set, every dispatch site
+# (attention, fused blocks, quant) routes to plain XLA regardless of the
+# finer-grained knobs below, including ``fused_scope`` re-enables inside
+# training traces.  CLIs set this when ``--tp`` is requested.
+_XLA_ONLY: bool = False
+
+
+def set_xla_only(enabled: bool = True) -> None:
+    global _XLA_ONLY
+    _XLA_ONLY = enabled
+
+
+def xla_only() -> bool:
+    return _XLA_ONLY
+
+
 # Pallas fused-attention dispatch: None = auto (on for TPU backends),
 # True/False to force.  Set via ``set_pallas_attention``.
 _PALLAS_ATTENTION: Optional[bool] = None
@@ -68,7 +87,7 @@ _W8A8_MIN_DIM = 512
 
 
 def _w8a8_for(latent_dim: int) -> bool:
-    return _W8A8 and latent_dim >= _W8A8_MIN_DIM
+    return _W8A8 and not _XLA_ONLY and latent_dim >= _W8A8_MIN_DIM
 
 
 def set_w8a8_min_dim(n: int) -> None:
@@ -128,7 +147,7 @@ class fused_scope:
     def __enter__(self):
         global _FUSED_BLOCKS, _PALLAS_ATTENTION, _REMAT_SCAN
         self.prev = (_FUSED_BLOCKS, _PALLAS_ATTENTION, _REMAT_SCAN)
-        if self.enabled:
+        if self.enabled and not _XLA_ONLY:
             _FUSED_BLOCKS = True
             _PALLAS_ATTENTION = None
             _REMAT_SCAN = False
@@ -139,6 +158,8 @@ class fused_scope:
 
 
 def use_pallas_attention() -> bool:
+    if _XLA_ONLY:
+        return False
     if _PALLAS_ATTENTION is not None:
         return _PALLAS_ATTENTION
     import jax

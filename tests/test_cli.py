@@ -135,6 +135,55 @@ class TestCLISmoke:
             assert name in cross["FID"], name
             assert name in cross["MM Distance"]
 
+    def _run_cli_subprocess(self, module, argv):
+        """Run a CLI in a fresh process: ``--tp`` flips the process-global
+        ``set_xla_only`` switch and runs dp x tp collectives — both must not
+        leak into (or flake inside) the suite process (see
+        tests/test_parallel.py::isolated)."""
+        import subprocess
+        import sys
+
+        root = os.path.join(os.path.dirname(__file__), "..")
+        env = dict(os.environ)
+        # The axon TPU plugin self-registers at interpreter startup (via
+        # sitecustomize) when this var is set and would steal the child onto
+        # the single real chip; the suite's children must stay on the
+        # virtual 8-device CPU mesh the parent env configures.
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        proc = subprocess.run(
+            [sys.executable, "-m", module, *argv],
+            cwd=root, env=env, capture_output=True, text=True, timeout=1800,
+        )
+        assert proc.returncode == 0, (
+            f"{module} {argv} failed (rc={proc.returncode})\n"
+            f"--- stdout ---\n{proc.stdout}\n--- stderr ---\n{proc.stderr}"
+        )
+        return proc
+
+    def test_train_mixermdm_tp_tiny(self, tmp_path):
+        out = str(tmp_path / "mixer_tp")
+        self._run_cli_subprocess(
+            "mixermdm_tpu.cli.train_mixermdm",
+            ["--tiny", "--tp", "2", "--out-dir", out, "--max-steps", "1"],
+        )
+        assert os.path.isdir(os.path.join(out, "final"))
+
+    def test_infer_mixermdm_tp_tiny(self, tmp_path):
+        import numpy as np
+
+        out = str(tmp_path / "infer_tp")
+        self._run_cli_subprocess(
+            "mixermdm_tpu.cli.infer_mixermdm",
+            ["--tiny", "--tp", "2", "--name", "smoke", "--out-dir", out,
+             "--num-samples", "2",
+             "--text-interaction", "two people hug",
+             "--text-individual1", "a person hugs",
+             "--text-individual2", "a person hugs back"],
+        )
+        motion = np.load(os.path.join(out, "smoke_motion.npy"))
+        assert motion.shape == (2, 16, 524)
+        assert np.isfinite(motion).all()
+
     def test_dispatcher_help(self, capsys):
         import mixermdm_tpu.__main__ as m
         import sys

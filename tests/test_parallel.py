@@ -1,5 +1,10 @@
 """Multi-device (virtual 8-CPU mesh) training-step tests."""
 
+import functools
+import os
+import subprocess
+import sys
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -13,6 +18,47 @@ from mixermdm_tpu.parallel.mesh import (
     tp_shard_params,
     tp_spec,
 )
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def isolated(fn):
+    """Run the test body in a fresh subprocess.
+
+    XLA:CPU's in-process collective rendezvous is flaky when one process
+    executes programs over SEVERAL different virtual-device meshes (the
+    dp-vs-tp equivalence tests run a 1-D mesh program and a 4x2 program
+    back to back, after the rest of the suite has already run other mesh
+    programs): even with the sequential thunk schedule
+    (tests/conftest.py) the suite intermittently deadlock-aborts.  A child
+    pytest process gives each such test a clean backend — which is also
+    exactly how the driver runs ``dryrun_multichip``.  TPU runs never use
+    the virtual-device code path.
+    """
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if os.environ.get("_MESH_TEST_ISOLATED") == "1":
+            return fn(*args, **kwargs)
+        qual = fn.__qualname__.replace(".", "::")
+        nodeid = f"tests/test_parallel.py::{qual}"
+        env = dict(os.environ, _MESH_TEST_ISOLATED="1")
+        # Keep the child off the real TPU chip (the axon plugin
+        # self-registers at startup when this is set; conftest would win
+        # anyway via jax.config, but registration alone opens the tunnel).
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "-x", "-q",
+             "-p", "no:cacheprovider", nodeid],
+            cwd=_REPO_ROOT, env=env, capture_output=True, text=True,
+            timeout=1800,
+        )
+        assert proc.returncode == 0, (
+            f"isolated test {nodeid} failed (rc={proc.returncode})\n"
+            f"--- stdout ---\n{proc.stdout}\n--- stderr ---\n{proc.stderr}"
+        )
+
+    return wrapper
 
 
 @pytest.fixture(scope="module")
@@ -72,6 +118,7 @@ class TestTensorParallel:
                         jax.tree_util.DictKey("kernel")], odd, 2) \
             == jax.sharding.PartitionSpec()
 
+    @isolated
     def test_tp_training_step_matches_dp(self):
         from mixermdm_tpu.train.trainer import MixerTrainer
         import __graft_entry__ as ge
@@ -110,6 +157,7 @@ class TestTensorParallel:
         assert {s.data.shape for s in qkv.addressable_shards} \
             == {(qkv.shape[0], qkv.shape[1], qkv.shape[2] // 2)}
 
+    @isolated
     def test_tp_sampling_matches_dp(self):
         from tests.test_systems import tiny_mixer
 
@@ -131,11 +179,10 @@ class TestTensorParallel:
 
 
 class TestMultiDeviceTraining:
+    @isolated
     def test_graft_dryrun(self):
         """The driver's multichip dry run must pass on the 8-device mesh."""
-        import sys, os
-
-        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        sys.path.insert(0, _REPO_ROOT)
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
