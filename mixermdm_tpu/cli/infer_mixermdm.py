@@ -84,8 +84,15 @@ def main(argv=None):
                              "params over a 'model' mesh axis (Megatron), "
                              "remaining devices form the data axis; forces "
                              "the GSPMD-partitionable XLA-only compute path")
+    parser.add_argument("--sp", action="store_true",
+                        help="sequence parallelism on top of --tp: the "
+                             "residual stream shards over the model axis "
+                             "along T between sub-layers (Megatron-SP, "
+                             "GSPMD formulation)")
     args = parser.parse_args(argv)
 
+    if args.sp and args.tp <= 1:
+        raise SystemExit("--sp requires --tp > 1 (it shards over the model axis)")
     if args.tp > 1:
         from ..models.layers import set_xla_only
 
@@ -154,6 +161,10 @@ def main(argv=None):
             raise SystemExit(f"--tp {args.tp} does not divide {n_avail} devices")
         n_data = max(d for d in range(1, n_avail // args.tp + 1) if B % d == 0)
         mesh = make_mesh_2d(n_data, args.tp)
+        if args.sp:
+            from ..models.layers import set_sequence_parallel
+
+            set_sequence_parallel(mesh)
         params = tp_shard_params(params, mesh)
         cond = jax.device_put(system.generate_cond(params, batch),
                               data_sharded(mesh))

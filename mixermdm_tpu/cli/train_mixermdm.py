@@ -30,6 +30,21 @@ def main(argv=None):
                              "params over a 'model' mesh axis (Megatron), "
                              "remaining devices form the data axis; forces "
                              "the GSPMD-partitionable XLA-only compute path")
+    parser.add_argument("--sp", action="store_true",
+                        help="sequence parallelism on top of --tp: the "
+                             "residual stream shards over the model axis "
+                             "along T between sub-layers (Megatron-SP, "
+                             "GSPMD formulation)")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="ZeRO-3: shard params + optimizer state over "
+                             "the data axis (all-gather at use, "
+                             "reduce-scatter grads); composes with --tp")
+    parser.add_argument("--quant-train", action="store_true",
+                        help="W8A8 the frozen denoiser forwards inside the "
+                             "training loss (QUANT_TRAIN; the generator then "
+                             "trains against int8 frozen outputs — measured "
+                             "step-time win in BASELINE.md, quality gate "
+                             "in scripts/quant_ab.py --train-arm)")
     args = parser.parse_args(argv)
 
     import jax
@@ -59,6 +74,8 @@ def main(argv=None):
         max_frames = 300
 
     system = build_system(args.model, tiny=args.tiny)
+    if args.quant_train:
+        system.quant_train = True
     rng = jax.random.PRNGKey(args.seed)
     rng, init_rng = jax.random.split(rng)
     params = system.init_params(init_rng)
@@ -76,7 +93,13 @@ def main(argv=None):
         n_data = max(d for d in range(1, n_avail // args.tp + 1)
                      if batch_size % d == 0)
         mesh = make_mesh_2d(n_data, args.tp)
+        if args.sp:
+            from ..models.layers import set_sequence_parallel
+
+            set_sequence_parallel(mesh)
     else:
+        if args.sp:
+            raise SystemExit("--sp requires --tp > 1 (it shards over the model axis)")
         mesh = make_data_mesh_for_batch(batch_size)
     trainer = MixerTrainer(
         system,
@@ -111,7 +134,13 @@ def main(argv=None):
             state = state._replace(
                 params=restore_checkpoint(args.resume, state.params)
             )
-    if args.tp > 1:
+    if args.fsdp:
+        # ZeRO-3: the whole train state (params + Adam moments) splits over
+        # the data axis; composes with --tp (TP within, FSDP across).
+        from ..parallel.mesh import fsdp_shard_params
+
+        state = fsdp_shard_params(state, mesh)
+    elif args.tp > 1:
         # Shard the WHOLE train state: the name-driven TP rule keys on the
         # trailing (parent, leaf) path names, so the Adam moments (mu/nu
         # mirror the param tree) land in the same layout as their params;

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 
-from .layers import FFN, VanillaCrossAttention, VanillaSelfAttention
+from .layers import FFN, VanillaCrossAttention, VanillaSelfAttention, seq_constraint
 
 
 class TransformerBlock(nn.Module):
@@ -33,16 +33,18 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, y, emb=None, key_padding_mask=None, train: bool = False):
-        h1 = VanillaSelfAttention(self.latent_dim, self.num_heads, self.dropout,
-                                  name="sa_block")(x, emb, key_padding_mask, train,
-                                                   residual=True)
-        h2 = VanillaCrossAttention(
+        h1 = seq_constraint(
+            VanillaSelfAttention(self.latent_dim, self.num_heads, self.dropout,
+                                 name="sa_block")(x, emb, key_padding_mask, train,
+                                                  residual=True))
+        h2 = seq_constraint(VanillaCrossAttention(
             self.latent_dim, self.latent_dim, self.num_heads, self.dropout,
             name="ca_block",
-        )(h1, y, emb, key_padding_mask, train, residual=True)
-        return FFN(self.latent_dim, self.ff_size, self.dropout, name="ffn")(
-            h2, emb, train, residual=True
-        )
+        )(h1, y, emb, key_padding_mask, train, residual=True))
+        return seq_constraint(
+            FFN(self.latent_dim, self.ff_size, self.dropout, name="ffn")(
+                h2, emb, train, residual=True
+            ))
 
 
 class TransformerBlockDoubleCond(nn.Module):
@@ -57,19 +59,21 @@ class TransformerBlockDoubleCond(nn.Module):
     @nn.compact
     def __call__(self, x, y, emb=None, emb_interaction=None, key_padding_mask=None,
                  train: bool = False):
-        h1 = VanillaSelfAttention(self.latent_dim, self.num_heads, self.dropout,
-                                  name="sa_block")(x, emb, key_padding_mask, train,
-                                                   residual=True)
+        h1 = seq_constraint(
+            VanillaSelfAttention(self.latent_dim, self.num_heads, self.dropout,
+                                 name="sa_block")(x, emb, key_padding_mask, train,
+                                                  residual=True))
         if self.mode in ("individual", "dual_individual"):
             h2 = h1
         else:
-            h2 = VanillaCrossAttention(
+            h2 = seq_constraint(VanillaCrossAttention(
                 self.latent_dim, self.latent_dim, self.num_heads, self.dropout,
                 name="ca_block",
-            )(h1, y, emb_interaction, key_padding_mask, train, residual=True)
-        return FFN(self.latent_dim, self.ff_size, self.dropout, name="ffn")(
-            h2, emb, train, residual=True
-        )
+            )(h1, y, emb_interaction, key_padding_mask, train, residual=True))
+        return seq_constraint(
+            FFN(self.latent_dim, self.ff_size, self.dropout, name="ffn")(
+                h2, emb, train, residual=True
+            ))
 
     @staticmethod
     def has_cross_attention(mode: str) -> bool:
@@ -86,12 +90,14 @@ class TransformerBlockSimple(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb=None, key_padding_mask=None, train: bool = False):
-        h1 = VanillaSelfAttention(self.latent_dim, self.num_heads, self.dropout,
-                                  name="sa_block")(x, emb, key_padding_mask, train,
-                                                   residual=True)
-        return FFN(self.latent_dim, self.ff_size, self.dropout, name="ffn")(
-            h1, emb, train, residual=True
-        )
+        h1 = seq_constraint(
+            VanillaSelfAttention(self.latent_dim, self.num_heads, self.dropout,
+                                 name="sa_block")(x, emb, key_padding_mask, train,
+                                                  residual=True))
+        return seq_constraint(
+            FFN(self.latent_dim, self.ff_size, self.dropout, name="ffn")(
+                h1, emb, train, residual=True
+            ))
 
 
 class InfluenceBlockCross(nn.Module):
@@ -106,13 +112,15 @@ class InfluenceBlockCross(nn.Module):
     @nn.compact
     def __call__(self, m_i, m_I, emb_i=None, emb_I=None, key_padding_mask=None,
                  train: bool = False):
-        h1 = VanillaSelfAttention(self.latent_dim, self.num_heads, self.dropout,
-                                  name="sa_block")(m_i, emb_i, key_padding_mask, train,
-                                                   residual=True)
-        h2 = VanillaCrossAttention(
+        h1 = seq_constraint(
+            VanillaSelfAttention(self.latent_dim, self.num_heads, self.dropout,
+                                 name="sa_block")(m_i, emb_i, key_padding_mask, train,
+                                                  residual=True))
+        h2 = seq_constraint(VanillaCrossAttention(
             self.latent_dim, self.latent_dim, self.num_heads, self.dropout,
             name="ca_block",
-        )(h1, m_I, emb_I, key_padding_mask, train, residual=True)
-        return FFN(self.latent_dim, self.ff_size, self.dropout, name="ffn")(
-            h2, emb_I, train, residual=True
-        )
+        )(h1, m_I, emb_I, key_padding_mask, train, residual=True))
+        return seq_constraint(
+            FFN(self.latent_dim, self.ff_size, self.dropout, name="ffn")(
+                h2, emb_I, train, residual=True
+            ))

@@ -167,6 +167,41 @@ def use_pallas_attention() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# Megatron-style sequence parallelism (GSPMD formulation): when a model mesh
+# axis is in play, the residual stream between sub-layers is constrained to
+# (batch -> data, sequence -> model) sharding.  GSPMD then turns the
+# row-parallel matmul psum into reduce-scatter over the sequence dim and
+# re-gathers before the next attention/FFN — LayerNorm/AdaLN/dropout compute
+# on sequence shards, cutting both activation memory and the replicated
+# elementwise work per TP rank.  A pure layout hint: outputs are unchanged
+# (asserted vs dp in tests/test_parallel.py).  Set via the ``--sp`` CLI flag
+# (requires ``--tp``); None = off.
+_SEQ_PARALLEL = None  # Optional[(Mesh, data_axis, model_axis)]
+
+
+def set_sequence_parallel(mesh=None, data_axis: str = "data",
+                          model_axis: str = "model") -> None:
+    global _SEQ_PARALLEL
+    _SEQ_PARALLEL = None if mesh is None else (mesh, data_axis, model_axis)
+
+
+def seq_constraint(x):
+    """Constrain a (B, T, E) residual-stream activation to batch x sequence
+    sharding under sequence parallelism; identity when SP is off, the leaf
+    is not rank-3, or T does not divide over the model axis."""
+    if _SEQ_PARALLEL is None or getattr(x, "ndim", 0) != 3:
+        return x
+    mesh, da, ma = _SEQ_PARALLEL
+    if x.shape[1] % mesh.shape[ma] != 0:
+        return x
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, PartitionSpec(da, ma, None))
+    )
+
+
 class TorchLinear(nn.Module):
     """Dense layer with torch's default init (keeps init-scale parity)."""
 

@@ -1,5 +1,7 @@
 from .mesh import (
     data_sharded,
+    fsdp_shard_params,
+    fsdp_spec,
     make_mesh,
     make_mesh_2d,
     replicate,
@@ -11,6 +13,8 @@ from .mesh import (
 
 __all__ = [
     "data_sharded",
+    "fsdp_shard_params",
+    "fsdp_spec",
     "make_mesh",
     "make_mesh_2d",
     "replicate",

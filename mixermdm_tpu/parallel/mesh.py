@@ -186,3 +186,64 @@ def tp_shard_params(params, mesh: Mesh, model_axis: str = "model"):
         )
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+# ---------------------------------------------------------------------------
+# FSDP / ZeRO-3 parameter sharding over the "data" mesh axis.
+#
+# Each param leaf is split along ONE dimension across the data-parallel
+# devices; under jit, GSPMD all-gathers the leaf where the forward consumes
+# it and reduce-scatters its gradient, so per-device HBM holds 1/n_data of
+# the params and of the Adam moments (build the optimizer state AFTER
+# sharding so ``zeros_like`` inherits the layout).  This is a pure layout
+# change — the compiled math is the all-gathered full-weight matmul, so
+# results match the replicated dp path (asserted in tests/test_parallel.py).
+#
+# For a model this size FSDP is about capability, not need (the whole system
+# fits one chip several times over — SURVEY.md §5's "no TP/SP needed"
+# applies to memory too); it exists so the framework composes dp x tp x fsdp
+# the way production JAX stacks do, and it is exercised by the multichip
+# dryrun.
+# ---------------------------------------------------------------------------
+
+
+def fsdp_spec(path, leaf, n_data: int, data_axis: str = "data",
+              base: Optional[P] = None, min_size: int = 0) -> P:
+    """PartitionSpec splitting one dim of ``leaf`` over the data axis.
+
+    ``base`` (e.g. a :func:`tp_spec`) is preserved; FSDP takes the largest
+    REMAINING dim divisible by ``n_data``.  Leaves smaller than ``min_size``
+    elements, and leaves with no divisible free dim, keep ``base``.
+    """
+    ndim = leaf.ndim
+    spec = ([None] * ndim if base is None
+            else list(base) + [None] * (ndim - len(base)))
+    if leaf.size < max(min_size, 1):
+        return P(*spec)
+    cands = [d for d in range(ndim)
+             if spec[d] is None and leaf.shape[d] >= n_data
+             and leaf.shape[d] % n_data == 0]
+    if not cands:
+        return P(*spec)
+    spec[max(cands, key=lambda d: leaf.shape[d])] = data_axis
+    return P(*spec)
+
+
+def fsdp_shard_params(params, mesh: Mesh, data_axis: str = "data",
+                      model_axis: str = "model", min_size: int = 0):
+    """Place a param tree with ZeRO-3 shardings over ``mesh``'s data axis.
+
+    If the mesh also carries a model axis (>1), Megatron TP rules
+    (:func:`tp_spec`) apply first and FSDP shards the largest remaining
+    divisible dim — the standard 2-D (tp within, fsdp across) layout.
+    Shard BEFORE ``optimizer.init`` so moments inherit the layout.
+    """
+    n_data = mesh.shape[data_axis]
+    n_model = mesh.shape.get(model_axis, 1)
+
+    def place(path, x):
+        base = tp_spec(path, x, n_model, model_axis) if n_model > 1 else None
+        sp = fsdp_spec(path, x, n_data, data_axis, base=base, min_size=min_size)
+        return jax.device_put(x, NamedSharding(mesh, sp))
+
+    return jax.tree_util.tree_map_with_path(place, params)

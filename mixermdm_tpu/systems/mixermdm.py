@@ -240,9 +240,15 @@ class MixerMDMSystem:
         # W8A8 for the FROZEN in2IN denoisers at sampling time (the mixer
         # itself stays bf16).  MXU int8 runs at 2x the bf16 rate on v5e;
         # per-channel weight + per-token activation scales.  Config
-        # QUANT_FROZEN gates it (training always ignores it — the trainers
-        # trace with fused blocks off).
+        # QUANT_FROZEN gates sampling; QUANT_TRAIN (opt-in, default off)
+        # additionally quantises the frozen denoiser FORWARDS inside the
+        # adversarial training loss — only the frozen fused subgraphs see
+        # int8 (the differentiated mixer/discriminator graphs trace with
+        # fused blocks off, so the scope cannot reach them), but the
+        # generator's training signal then comes from int8 frozen outputs,
+        # so it ships opt-in (see BASELINE.md round-3 training A/B).
         self.quant_frozen = bool(self.cfg.get("QUANT_FROZEN", False))
+        self.quant_train = bool(self.cfg.get("QUANT_TRAIN", False))
         self._mixer_forward = make_mixer_forward(
             self.mixer_cfg,
             # quant rides the SAMPLING whole-trace scope (_sample_impl), so
@@ -365,6 +371,17 @@ class MixerMDMSystem:
         return self._jit_loss[key](params, motions, motion_lens, cond, rng)
 
     def _loss_impl(self, params, motions, motion_lens, cond, rng, *, mode,
+                   i_loss_factor, I_loss_factor, l1, cond_mask_prob):
+        from ..models.layers import w8a8_scope
+
+        with w8a8_scope(self.quant_train):
+            return self._loss_body(
+                params, motions, motion_lens, cond, rng, mode=mode,
+                i_loss_factor=i_loss_factor, I_loss_factor=I_loss_factor,
+                l1=l1, cond_mask_prob=cond_mask_prob,
+            )
+
+    def _loss_body(self, params, motions, motion_lens, cond, rng, *, mode,
                    i_loss_factor, I_loss_factor, l1, cond_mask_prob):
         B, T = motions.shape[:2]
         rng_mask, rng_t, rng_noise = jax.random.split(rng, 3)

@@ -29,6 +29,9 @@ def main(argv=None):
                    help="time with XLA attention everywhere (no Pallas fwd)")
     p.add_argument("--bf16-moments", action="store_true",
                    help="store the Adam first moment in bf16 (HBM-traffic A/B)")
+    p.add_argument("--quant-train", action="store_true",
+                   help="W8A8 the frozen denoiser forwards inside the "
+                        "training loss (QUANT_TRAIN)")
     args = p.parse_args(argv)
 
     import jax
@@ -46,6 +49,8 @@ def main(argv=None):
     T = 16 if args.tiny else args.frames
 
     system = build_system(tiny=args.tiny)
+    if args.quant_train:
+        system.quant_train = True
     params = system.init_params(jax.random.PRNGKey(0))
     trainer = MixerTrainer(system, grad_acc_steps=2, discriminator_steps=1,
                            donate=True,
@@ -102,10 +107,11 @@ def main(argv=None):
         trainer = MixerTrainer(system, grad_acc_steps=2, discriminator_steps=1,
                                donate=True)
 
-    best = time_steps(f"{TR.TRAIN_ATTENTION} attention path")
+    qt = ", quant-train" if args.quant_train else ""
+    best = time_steps(f"{TR.TRAIN_ATTENTION} attention path{qt}")
     results.update({
         "metric": f"mixermdm fused G+D training step (B={B}, T={T}, "
-                  f"attn={TR.TRAIN_ATTENTION})",
+                  f"attn={TR.TRAIN_ATTENTION}{qt})",
         "value": round(best * 1e3, 1),
         "unit": "ms/step",
         "samples_per_sec": round(B / best, 2),

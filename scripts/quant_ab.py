@@ -27,6 +27,12 @@ Decision rule (recorded in BASELINE.md): w8a8 is acceptable to default on
 when its FID delta vs f32 is within ~an order of magnitude of the
 bf16-vs-f32 delta — quantisation noise must not dominate the already-
 accepted mixed-precision noise at the distribution level.
+
+``--train-arm`` additionally gates the QUANT_TRAIN knob (int8 frozen
+denoiser forwards inside the adversarial TRAINING loss): it trains a second
+mixer from the same seed with QUANT_TRAIN on, evaluates BOTH trainings under
+identical f32 sampling, and reports the metric deltas attributable to
+training against int8 frozen outputs.
 """
 
 from __future__ import annotations
@@ -78,6 +84,9 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=4)
     parser.add_argument("--out", type=str, default="quant_ab.json")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--train-arm", action="store_true",
+                        help="also train a QUANT_TRAIN mixer and compare "
+                             "both trainings under identical f32 sampling")
     args = parser.parse_args(argv)
 
     import jax
@@ -101,35 +110,48 @@ def main(argv=None):
     root = "/tmp/quant_ab_synth"
     make_interhuman_fixture(root, n_clips=max(8, args.num_samples),
                             n_frames=40, test_all=True)
-    train_sys = make_system("bf16", quant=False)
-    params = train_sys.init_params(jax.random.PRNGKey(args.seed))
 
-    dataset = InterHumanDataset(root, mode="train", max_gt_length=T_WINDOW)
-    loader = DataLoader(dataset, batch_size=4, seed=args.seed)
-    trainer = MixerTrainer(train_sys, grad_acc_steps=1, discriminator_steps=1)
-    state = trainer.init_state(params)
-    print(f"training small mixer ({LATENT}-d) for {args.train_steps} steps ...")
-    step = 0
-    rng = jax.random.PRNGKey(args.seed + 7)
-    while step < args.train_steps:
-        for batch in loader:
-            toks = train_sys.tokenize_batch(batch)
-            dev_batch = {
-                "motions": np.asarray(batch["motions"], np.float32),
-                "motion_lens": np.asarray(batch["motion_lens"]),
-                "tokens_inter": np.asarray(toks["tokens_inter"]),
-                "tokens_i1": np.asarray(toks["tokens_i1"]),
-                "tokens_i2": np.asarray(toks["tokens_i2"]),
-            }
-            state, g_losses, _ = trainer.fit_step(
-                state, dev_batch, jax.random.fold_in(rng, step), step
-            )
-            step += 1
-            if step % 50 == 0:
-                print(f"  step {step}: g_total={float(g_losses['total']):.4f}")
-            if step >= args.train_steps:
-                break
-    params = jax.device_get(state.params)
+    def train_mixer(quant_train: bool):
+        train_sys = make_system("bf16", quant=False)
+        train_sys.quant_train = quant_train
+        if quant_train:
+            set_w8a8_min_dim(LATENT)  # the 128-d denoisers must engage int8
+        try:
+            params0 = train_sys.init_params(jax.random.PRNGKey(args.seed))
+            dataset = InterHumanDataset(root, mode="train",
+                                        max_gt_length=T_WINDOW)
+            loader = DataLoader(dataset, batch_size=4, seed=args.seed)
+            trainer = MixerTrainer(train_sys, grad_acc_steps=1,
+                                   discriminator_steps=1)
+            state = trainer.init_state(params0)
+            print(f"training small mixer ({LATENT}-d, "
+                  f"quant_train={quant_train}) for {args.train_steps} steps ...")
+            step = 0
+            rng = jax.random.PRNGKey(args.seed + 7)
+            while step < args.train_steps:
+                for batch in loader:
+                    toks = train_sys.tokenize_batch(batch)
+                    dev_batch = {
+                        "motions": np.asarray(batch["motions"], np.float32),
+                        "motion_lens": np.asarray(batch["motion_lens"]),
+                        "tokens_inter": np.asarray(toks["tokens_inter"]),
+                        "tokens_i1": np.asarray(toks["tokens_i1"]),
+                        "tokens_i2": np.asarray(toks["tokens_i2"]),
+                    }
+                    state, g_losses, _ = trainer.fit_step(
+                        state, dev_batch, jax.random.fold_in(rng, step), step
+                    )
+                    step += 1
+                    if step % 50 == 0:
+                        print(f"  step {step}: "
+                              f"g_total={float(g_losses['total']):.4f}")
+                    if step >= args.train_steps:
+                        break
+            return jax.device_get(state.params)
+        finally:
+            set_w8a8_min_dim(_DEFAULT_GATE)
+
+    params = train_mixer(quant_train=False)
 
     # ------------------------------------------------------------------- eval
     gt = InterHumanDataset(root, mode="test", max_gt_length=T_WINDOW)
@@ -168,8 +190,31 @@ def main(argv=None):
         }
     set_w8a8_min_dim(_DEFAULT_GATE)
 
+    if args.train_arm:
+        # Train a second mixer against int8 frozen outputs; score it under
+        # the SAME f32 sampling + featurizer.  The delta vs the baseline
+        # training isolates the training-time quantisation effect.
+        params_qt = train_mixer(quant_train=True)
+        print("=== arm f32(qt-trained) ===")
+        system = make_system("f32", quant=False)
+        metrics = run_side(
+            system, params_qt, gt, wrapper, protocol,
+            individual=False, num_samples=args.num_samples,
+            batch_size=args.batch_size, max_frames=T_WINDOW,
+            replications=1, seed=args.seed, mm_num_samples=0,
+            model_name="qt",
+        )
+        results["f32_quant_trained"] = {
+            "FID": float(np.mean(metrics["FID"]["qt"])),
+            "MM Distance": float(np.mean(metrics["MM Distance"]["qt"])),
+            "R_precision_top1": float(np.mean(metrics["R_precision_top1"]["qt"])),
+            "Diversity": float(np.mean(metrics["Diversity"]["qt"])),
+        }
+
     table = {"arms": results, "deltas_vs_f32": {}}
-    for name in ("bf16", "w8a8"):
+    for name in results:
+        if name == "f32":
+            continue
         table["deltas_vs_f32"][name] = {
             k: round(results[name][k] - results["f32"][k], 6)
             for k in results["f32"]
@@ -181,6 +226,12 @@ def main(argv=None):
         "fid_delta_w8a8": d_w8a8,
         "w8a8_within_10x_of_bf16": bool(d_w8a8 <= 10 * max(d_bf16, 1e-9)),
     }
+    if "f32_quant_trained" in results:
+        d_qt = abs(table["deltas_vs_f32"]["f32_quant_trained"]["FID"])
+        table["gate"]["fid_delta_quant_trained"] = d_qt
+        table["gate"]["quant_train_within_10x_of_bf16"] = bool(
+            d_qt <= 10 * max(d_bf16, 1e-9)
+        )
     print(json.dumps(table, indent=2))
     with open(args.out, "w") as f:
         json.dump(table, f, indent=2)

@@ -184,6 +184,26 @@ class TestCLISmoke:
         assert motion.shape == (2, 16, 524)
         assert np.isfinite(motion).all()
 
+    def test_train_mixermdm_tp_sp_tiny(self, tmp_path):
+        """Sequence parallelism rides on top of --tp (Megatron-SP via GSPMD
+        constraints); the training step must run end-to-end."""
+        out = str(tmp_path / "mixer_tp_sp")
+        self._run_cli_subprocess(
+            "mixermdm_tpu.cli.train_mixermdm",
+            ["--tiny", "--tp", "2", "--sp", "--out-dir", out,
+             "--max-steps", "1"],
+        )
+        assert os.path.isdir(os.path.join(out, "final"))
+
+    def test_train_mixermdm_fsdp_tiny(self, tmp_path):
+        """ZeRO-3 param+moment sharding over the data axis."""
+        out = str(tmp_path / "mixer_fsdp")
+        self._run_cli_subprocess(
+            "mixermdm_tpu.cli.train_mixermdm",
+            ["--tiny", "--fsdp", "--out-dir", out, "--max-steps", "1"],
+        )
+        assert os.path.isdir(os.path.join(out, "final"))
+
     def test_dispatcher_help(self, capsys):
         import mixermdm_tpu.__main__ as m
         import sys

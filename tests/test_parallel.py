@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import pytest
 
 from mixermdm_tpu.parallel.mesh import (
+    fsdp_shard_params,
+    fsdp_spec,
     make_mesh,
     make_mesh_2d,
     replicate,
@@ -47,12 +49,20 @@ def isolated(fn):
         # self-registers at startup when this is set; conftest would win
         # anyway via jax.config, but registration alone opens the tunnel).
         env.pop("PALLAS_AXON_POOL_IPS", None)
-        proc = subprocess.run(
-            [sys.executable, "-m", "pytest", "-x", "-q",
-             "-p", "no:cacheprovider", nodeid],
-            cwd=_REPO_ROOT, env=env, capture_output=True, text=True,
-            timeout=1800,
-        )
+        for attempt in range(2):
+            proc = subprocess.run(
+                [sys.executable, "-m", "pytest", "-x", "-q",
+                 "-p", "no:cacheprovider", nodeid],
+                cwd=_REPO_ROOT, env=env, capture_output=True, text=True,
+                timeout=1800,
+            )
+            if proc.returncode >= 0 or attempt:
+                break
+            # A negative code is a signal death — the known intermittent
+            # XLA:CPU in-process rendezvous abort (likelier on cold
+            # compiles), not a test assertion; one retry with the now-warm
+            # compilation cache is reliable.  Real failures exit positive
+            # and are never retried.
         assert proc.returncode == 0, (
             f"isolated test {nodeid} failed (rc={proc.returncode})\n"
             f"--- stdout ---\n{proc.stdout}\n--- stderr ---\n{proc.stderr}"
@@ -176,6 +186,176 @@ class TestTensorParallel:
                            shard_batch({"c": cond}, mesh2)["c"],
                            T, jax.random.PRNGKey(2))
         np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+class TestSequenceParallel:
+    """Megatron-SP (GSPMD formulation): with the residual stream constrained
+    to batch x sequence sharding, results still match the replicated dp path
+    — the constraint is a layout hint, not a math change."""
+
+    _batch = None  # bound below (after TestTensorParallel defines it)
+
+    @isolated
+    def test_tp_sp_training_step_matches_dp(self):
+        from mixermdm_tpu.models.layers import set_sequence_parallel
+        from mixermdm_tpu.train.trainer import MixerTrainer
+        import __graft_entry__ as ge
+
+        system = ge._tiny_system()
+        params = system.init_params(jax.random.PRNGKey(0))
+
+        def run(mesh, tp_sp):
+            trainer = MixerTrainer(system, grad_acc_steps=1, mesh=mesh)
+            if tp_sp:
+                set_sequence_parallel(mesh)
+                p = tp_shard_params(params, mesh)
+            else:
+                p = replicate(params, mesh)
+            try:
+                state = trainer.init_state(p)
+                state, g, d = trainer.fit_step(
+                    state, self._batch(system, mesh), jax.random.PRNGKey(1),
+                    batch_idx=0,
+                )
+                return g, d
+            finally:
+                set_sequence_parallel(None)
+
+        g1, d1 = run(make_mesh(8), tp_sp=False)
+        g2, d2 = run(make_mesh_2d(4, 2), tp_sp=True)
+        np.testing.assert_allclose(float(g1["total"]), float(g2["total"]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(d1["total"]), float(d2["total"]),
+                                   rtol=1e-6)
+
+    @isolated
+    def test_tp_sp_sampling_matches_dp(self):
+        from mixermdm_tpu.models.layers import set_sequence_parallel
+        from tests.test_systems import tiny_mixer
+
+        sys_ = tiny_mixer()
+        params = sys_.init_params(jax.random.PRNGKey(0))
+        B, T = 8, 12
+        cond = np.random.default_rng(1).standard_normal(
+            (B, 8 * sys_.text_dim)).astype(np.float32)
+
+        mesh1 = make_mesh(8)
+        out1 = sys_.sample(replicate(params, mesh1),
+                           shard_batch({"c": cond}, mesh1)["c"],
+                           T, jax.random.PRNGKey(2))
+        # Fresh system: jit traces are cached per shape, and the SP
+        # constraints are recorded at TRACE time — reusing sys_ would
+        # silently replay the constraint-free trace.
+        sys_sp = tiny_mixer()
+        mesh2 = make_mesh_2d(4, 2)
+        set_sequence_parallel(mesh2)
+        try:
+            out2 = sys_sp.sample(tp_shard_params(params, mesh2),
+                                 shard_batch({"c": cond}, mesh2)["c"],
+                                 T, jax.random.PRNGKey(2))
+        finally:
+            set_sequence_parallel(None)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   rtol=1e-5, atol=1e-6)
+
+
+class TestFSDP:
+    """ZeRO-3 parameter sharding over the data axis must be a pure layout
+    change: same losses/updates as the replicated dp path, params and Adam
+    moments actually split across devices."""
+
+    def test_fsdp_spec_rules(self):
+        P = jax.sharding.PartitionSpec
+        # Largest divisible dim wins.
+        k = jnp.zeros((32, 64))
+        assert fsdp_spec([], k, 8) == P(None, "data")
+        # TP base is preserved; FSDP takes the largest REMAINING dim.
+        base = P(None, "model")
+        assert fsdp_spec([], k, 8, base=base) == P("data", "model")
+        # Non-divisible leaves keep the base spec.
+        odd = jnp.zeros((23,))
+        assert fsdp_spec([], odd, 8) == P(None)
+        # min_size gate replicates small leaves.
+        assert fsdp_spec([], k, 8, min_size=10_000) == P(None, None)
+
+    def test_fsdp_params_actually_sharded(self):
+        import __graft_entry__ as ge
+
+        system = ge._tiny_system()
+        params = system.init_params(jax.random.PRNGKey(0))
+        mesh = make_mesh(8)
+        sharded = fsdp_shard_params(params, mesh)
+        qkv = sharded["model2"]["denoiser_interaction"]["blocks"]["block"][
+            "sa_block"]["attention"]["q_proj"]["kernel"]
+        # One dim split 8 ways: per-device shard holds 1/8 of the elements.
+        shard = next(iter(qkv.addressable_shards)).data
+        assert shard.size == qkv.size // 8
+
+    @isolated
+    def test_fsdp_training_step_matches_dp(self):
+        from mixermdm_tpu.train.trainer import MixerTrainer
+        import __graft_entry__ as ge
+
+        system = ge._tiny_system()
+        params = system.init_params(jax.random.PRNGKey(0))
+        mesh = make_mesh(8)
+
+        def run(fsdp):
+            trainer = MixerTrainer(system, grad_acc_steps=1, mesh=mesh)
+            p = (fsdp_shard_params(params, mesh) if fsdp
+                 else replicate(params, mesh))
+            state = trainer.init_state(p)
+            state, g, d = trainer.fit_step(
+                state, self._batch(system, mesh), jax.random.PRNGKey(1),
+                batch_idx=0,
+            )
+            return g, d, state
+
+        g1, d1, s1 = run(fsdp=False)
+        g2, d2, s2 = run(fsdp=True)
+        # The all-gathered matmul computes the same numbers; only the
+        # gradient reduction order may differ (psum vs reduce-scatter).
+        np.testing.assert_allclose(float(g1["total"]), float(g2["total"]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(d1["total"]), float(d2["total"]),
+                                   rtol=1e-6)
+        # Param tolerance is one-update-scale: at step 1 Adam's update is
+        # ~sign(grad)*lr, so the reduce-scatter-vs-psum reduction-order noise
+        # in the low bits of a grad can flip an update component by O(lr).
+        # The strict loss equality above already pins the forward math.
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, rtol=0)
+        # Adam moments inherited the FSDP layout (built after sharding):
+        # the largest moment leaf is split, not replicated.
+        mu = max(jax.tree_util.tree_leaves(s2.opt_gen), key=lambda a: a.size)
+        shard = next(iter(mu.addressable_shards)).data
+        assert shard.size == mu.size // 8
+
+    _batch = TestTensorParallel._batch
+
+    @isolated
+    def test_fsdp_tp_combined_training_step(self):
+        """2-D layout: Megatron TP within the model axis, ZeRO-3 across the
+        data axis — the standard production 2-D sharding."""
+        from mixermdm_tpu.train.trainer import MixerTrainer
+        import __graft_entry__ as ge
+
+        system = ge._tiny_system()
+        params = system.init_params(jax.random.PRNGKey(0))
+        mesh = make_mesh_2d(4, 2)
+        trainer = MixerTrainer(system, grad_acc_steps=1, mesh=mesh)
+        state = trainer.init_state(fsdp_shard_params(params, mesh))
+        state, g, d = trainer.fit_step(
+            state, self._batch(system, mesh, B=4), jax.random.PRNGKey(1),
+            batch_idx=0,
+        )
+        assert bool(jnp.isfinite(g["total"]))
+        assert bool(jnp.isfinite(d["total"]))
+
+
+TestSequenceParallel._batch = TestTensorParallel._batch
 
 
 class TestMultiDeviceTraining:
