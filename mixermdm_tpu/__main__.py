@@ -16,6 +16,7 @@ COMMANDS = {
     "train-evaluator": ("mixermdm_tpu.cli.train_evaluator", "InterCLIP evaluator training"),
     "eval-mixermdm": ("mixermdm_tpu.cli.eval_mixermdm", "evaluation protocol"),
     "eval-base": ("mixermdm_tpu.cli.eval_base", "base-model evaluation (in2IN/DualMDM/MDM)"),
+    "serve": ("mixermdm_tpu.cli.serve", "warm-compiled HTTP generation server"),
 }
 
 

@@ -218,6 +218,94 @@ class TestCLISmoke:
         assert "infer-mixermdm" in capsys.readouterr().out
 
 
+class TestServe:
+    """The warm-compiled HTTP generation server (cli/serve.py)."""
+
+    def test_serve_tiny_end_to_end(self):
+        import base64
+        import io
+        import json
+        import socket
+        import subprocess
+        import sys
+        import time
+        import urllib.request
+        import urllib.error
+
+        import numpy as np
+
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+
+        root = os.path.join(os.path.dirname(__file__), "..")
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # stay off the real chip
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "mixermdm_tpu", "serve", "--tiny",
+             "--platform", "cpu", "--port", str(port)],
+            cwd=root, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        base = f"http://127.0.0.1:{port}"
+        try:
+            deadline = time.time() + 600
+            health = None
+            while time.time() < deadline:
+                if proc.poll() is not None:
+                    raise AssertionError(
+                        f"server died rc={proc.returncode}:\n"
+                        + proc.stdout.read()
+                    )
+                try:
+                    with urllib.request.urlopen(base + "/healthz", timeout=5) as r:
+                        health = json.load(r)
+                    if health.get("warm"):
+                        break
+                except (urllib.error.URLError, ConnectionError, OSError):
+                    pass
+                time.sleep(2.0)
+            assert health and health["warm"], f"server never warmed: {health}"
+            assert health["batch_size"] == 2 and health["window"] == 16
+
+            body = json.dumps({
+                "text_interaction": "two people bow",
+                "text_individual1": "a person bows",
+                "text_individual2": "a person bows back",
+                "num_samples": 2,
+                "seed": 5,
+            }).encode()
+            req = urllib.request.Request(
+                base + "/generate", data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                resp = json.load(r)
+            assert resp["shape"] == [2, 16, 524]
+            motion = np.load(io.BytesIO(base64.b64decode(resp["motion_npy_b64"])))
+            assert motion.shape == (2, 16, 524)
+            assert np.isfinite(motion).all()
+
+            # Bad request surfaces as 400, not a dead server.
+            bad = urllib.request.Request(
+                base + "/generate", data=b'{"num_samples": 1}',
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                urllib.request.urlopen(bad, timeout=60)
+                raise AssertionError("missing-texts request should 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        finally:
+            proc.terminate()
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait(timeout=30)
+
+
 class TestShippedConfigs:
     def test_yaml_configs_build_full_system(self):
         """The shipped configs/ tree (reference schema) must parse and build
