@@ -10,6 +10,7 @@ from .mesh import (
     tp_shard_params,
     tp_spec,
 )
+from .pipeline import pipeline_scan
 
 __all__ = [
     "data_sharded",
@@ -17,6 +18,7 @@ __all__ = [
     "fsdp_spec",
     "make_mesh",
     "make_mesh_2d",
+    "pipeline_scan",
     "replicate",
     "replicated",
     "shard_batch",
