@@ -55,15 +55,26 @@ def quantize_weight(w):
     return w8, s.reshape(1, -1)
 
 
-def _qdot(x, w8, wscale):
-    """Per-row dynamic activation quant -> int8 MXU matmul -> f32 dequant."""
+def _quant_act(x):
+    """Per-row (token) symmetric int8 activation quantisation: ``x8, s``."""
     xf = x.astype(jnp.float32)
     s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
     x8 = jnp.clip(jnp.round(xf / s), -127.0, 127.0).astype(jnp.int8)
+    return x8, s
+
+
+def _qdot8(x8, s, w8, wscale):
+    """Pre-quantised int8 MXU matmul -> f32 dequant."""
     acc = jax.lax.dot_general(
         x8, w8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
     return acc.astype(jnp.float32) * s * wscale
+
+
+def _qdot(x, w8, wscale):
+    """Per-row dynamic activation quant -> int8 MXU matmul -> f32 dequant."""
+    x8, s = _quant_act(x)
+    return _qdot8(x8, s, w8, wscale)
 
 
 def _sa_block_kernel(
@@ -89,9 +100,12 @@ def _sa_block_kernel(
     # int8 and the matmuls ride the MXU's 2x int8 path.
     if scales is not None:
         wqs_ref, wks_ref, wvs_ref, wos_ref = scales
-        q = _qdot(xn[:Tq], wq_ref[...], wqs_ref[...]) + bq_ref[...]
-        k = _qdot(xn, wk_ref[...], wks_ref[...]) + bk_ref[...]
-        v = _qdot(xn, wv_ref[...], wvs_ref[...]) + bv_ref[...]
+        # One activation quantisation feeds all three projections (the scale
+        # is per row of xn, so slicing x8/s to the query rows is exact).
+        x8, xs = _quant_act(xn)
+        q = _qdot8(x8[:Tq], xs[:Tq], wq_ref[...], wqs_ref[...]) + bq_ref[...]
+        k = _qdot8(x8, xs, wk_ref[...], wks_ref[...]) + bk_ref[...]
+        v = _qdot8(x8, xs, wv_ref[...], wvs_ref[...]) + bv_ref[...]
     else:
         q = jax.lax.dot_general(xn[:Tq], wq_ref[...], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32) + bq_ref[...]
@@ -266,9 +280,11 @@ def _ca_block_kernel(
 
     if scales is not None:
         wqs_ref, wks_ref, wvs_ref, wos_ref = scales
+        # xf is quantised once and reused for the K and V projections.
+        xf8, xfs = _quant_act(xfn)
         q = (_qdot(xn, wq_ref[...], wqs_ref[...]) + bq_ref[...]).astype(cd)
-        k = (_qdot(xfn, wk_ref[...], wks_ref[...]) + bk_ref[...]).astype(cd)
-        v = (_qdot(xfn, wv_ref[...], wvs_ref[...]) + bv_ref[...]).astype(cd)
+        k = (_qdot8(xf8, xfs, wk_ref[...], wks_ref[...]) + bk_ref[...]).astype(cd)
+        v = (_qdot8(xf8, xfs, wv_ref[...], wvs_ref[...]) + bv_ref[...]).astype(cd)
     else:
         q = (jax.lax.dot_general(xn, wq_ref[...], (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32) + bq_ref[...]).astype(cd)
