@@ -37,6 +37,10 @@ def main(argv=None):
                         help="raw motion .npy to q-sample as the chain start "
                              "(reference init_image)")
     parser.add_argument("--skip-timesteps", type=int, default=0)
+    parser.add_argument("--pp", type=int, default=1,
+                        help="pipeline-parallel degree: the denoiser layer "
+                             "stacks run as a GPipe pipeline over a 'pipe' "
+                             "mesh axis of N devices")
     args = parser.parse_args(argv)
 
     import jax
@@ -107,7 +111,18 @@ def main(argv=None):
         sample_kwargs["skip_timesteps"] = args.skip_timesteps
 
     cond = system.build_cond(params, batch)
-    out = np.asarray(system.sample(params, cond, args.window, rng, **sample_kwargs))
+    if args.pp > 1:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.pipeline import pipeline_scope
+
+        if args.pp > len(jax.devices()):
+            raise SystemExit(f"--pp {args.pp} > {len(jax.devices())} available devices")
+        with pipeline_scope(make_mesh(args.pp, axis="pipe")):
+            out = np.asarray(
+                system.sample(params, cond, args.window, rng, **sample_kwargs)
+            )
+    else:
+        out = np.asarray(system.sample(params, cond, args.window, rng, **sample_kwargs))
 
     from scipy.ndimage import gaussian_filter1d
 

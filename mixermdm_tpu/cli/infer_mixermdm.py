@@ -89,10 +89,19 @@ def main(argv=None):
                              "residual stream shards over the model axis "
                              "along T between sub-layers (Megatron-SP, "
                              "GSPMD formulation)")
+    parser.add_argument("--pp", type=int, default=1,
+                        help="pipeline-parallel degree: the in2IN denoiser "
+                             "layer stacks run as a GPipe pipeline over a "
+                             "'pipe' mesh axis of N devices (microbatched "
+                             "person-stacked batch, ppermute hand-off); "
+                             "mutually exclusive with --tp")
     args = parser.parse_args(argv)
 
     if args.sp and args.tp <= 1:
         raise SystemExit("--sp requires --tp > 1 (it shards over the model axis)")
+    if args.pp > 1 and args.tp > 1:
+        raise SystemExit("--pp and --tp are mutually exclusive (compose via "
+                         "the library's pipeline_scope over a 2-D mesh)")
     if args.tp > 1:
         from ..models.layers import set_xla_only
 
@@ -151,7 +160,24 @@ def main(argv=None):
     if args.skip_timesteps:
         sample_kwargs["skip_timesteps"] = args.skip_timesteps
 
-    if args.tp > 1:
+    if args.pp > 1:
+        # Pipeline-parallel generation: the denoiser stacks run as a GPipe
+        # schedule over the first N devices; everything else is replicated.
+        from ..parallel.mesh import make_mesh
+        from ..parallel.pipeline import pipeline_scope
+
+        n_avail = len(jax.devices())
+        if args.pp > n_avail:
+            raise SystemExit(f"--pp {args.pp} > {n_avail} available devices")
+        mesh = make_mesh(args.pp, axis="pipe")
+        cond = system.generate_cond(params, batch)
+        with pipeline_scope(mesh):
+            sampled, infl = system.sample(params, cond, window, rng,
+                                          collect_influence=True,
+                                          **sample_kwargs)
+        out = {"output": sampled, "influence_i1": infl[0],
+               "influence_i2": infl[1]}
+    elif args.tp > 1:
         # dp x tp generation: params Megatron-sharded over the model axis,
         # the sample batch over the data axis.
         from ..parallel.mesh import data_sharded, make_mesh_2d, tp_shard_params

@@ -21,6 +21,7 @@ import flax.linen as nn
 from .blocks import TransformerBlockDoubleCond
 from .embeddings import PositionalEncoding, TimestepEmbedder
 from .layers import FinalLayer, TorchLinear, remat_scan_enabled
+from ..parallel.pipeline import pipeline_context, pipeline_scan
 
 
 class _DoubleCondScanBody(nn.Module):
@@ -119,6 +120,17 @@ class In2INDenoiser(nn.Module):
 
             ``swap_half``: nonzero B for the cross-person partner swap.
             """
+            pp = pipeline_context()
+            if (
+                pp is not None
+                and self.scan_layers
+                and not self.is_initializing()
+                and (not train or self.dropout == 0.0)
+                and self._can_pipeline(pp, h.shape[0], swap_half)
+            ):
+                return self._pipelined_stack(
+                    h, swap_half, emb, emb_inter, kpm, pp, block_kw, train
+                )
             if self.scan_layers:
                 stack = nn.scan(
                     (nn.remat(_DoubleCondScanBody, prevent_cse=False)
@@ -179,3 +191,78 @@ class In2INDenoiser(nn.Module):
         h = run_stack(h, B, emb, emb_inter2, kpm)
         out = final(h)
         return jnp.concatenate([out[:B], out[B:]], axis=-1)
+
+    def _can_pipeline(self, pp, rows, swap_half):
+        """Whether this stack can run as a GPipe pipeline under ``pp``.
+
+        Stacks that don't divide over the stages (e.g. a 1-layer tiny-config
+        denoiser on a 2-stage mesh) or whose batch can't microbatch evenly
+        fall back to the sequential ``nn.scan`` — ``--pp`` pipelines every
+        stack it can and leaves the rest untouched.
+        """
+        mesh, axis, n_microbatches = pp
+        n_stages = mesh.shape[axis]
+        M = n_microbatches or n_stages
+        if self.num_layers % n_stages:
+            return False
+        if rows % M or (swap_half and (rows // M) % 2):
+            return False
+        return True
+
+    def _pipelined_stack(self, h, swap_half, emb, emb_inter, kpm, pp,
+                         block_kw, train):
+        """The layer stack as a GPipe pipeline (``parallel.pipeline_scan``).
+
+        Activated by ``parallel.pipeline_scope`` (the ``--pp`` CLI flag) at
+        apply time; parameter creation always goes through the sequential
+        ``nn.scan`` path, so checkpoints are layout-identical.
+
+        The cross-person partner swap needs both persons of a sample in the
+        SAME microbatch: the person-stacked ``[a0..aB-1, b0..bB-1]`` rows are
+        re-ordered pair-major ``[a0, b0, a1, b1, ...]`` going in, the swap
+        becomes a within-pair flip, and the output is de-interleaved — the
+        math is identical to the sequential half-swap (asserted in
+        tests/test_parallel.py).
+        """
+        mesh, axis, n_microbatches = pp
+        stacked = self.variables["params"]["blocks"]
+        block = TransformerBlockDoubleCond(**block_kw, name=None)
+        interleave = bool(swap_half)
+        if emb_inter is None:
+            emb_inter = emb
+
+        rows = h.shape[0]
+        M = n_microbatches or mesh.shape[axis]
+        if rows % M or (interleave and (rows // M) % 2):
+            raise ValueError(
+                f"--pp: the {rows}-row person-stacked batch must split into "
+                f"{M} microbatches of even size"
+            )
+
+        if interleave:
+            B = swap_half
+
+            def il(a):
+                return jnp.stack([a[:B], a[B:]], axis=1).reshape(
+                    (2 * B,) + a.shape[1:]
+                )
+
+            h, emb, emb_inter, kpm = il(h), il(emb), il(emb_inter), il(kpm)
+
+        def body(lp, carry):
+            hh, e, ei, m = carry
+            partner = None
+            if interleave:
+                pr = hh.reshape((-1, 2) + hh.shape[1:])
+                partner = pr[:, ::-1].reshape(hh.shape)
+            hh = block.apply({"params": lp["block"]}, hh, partner, e, ei, m, train)
+            return (hh, e, ei, m)
+
+        out = pipeline_scan(
+            body, stacked, (h, emb, emb_inter, kpm), mesh,
+            axis=axis, n_microbatches=M,
+        )[0]
+        if interleave:
+            d = out.reshape((B, 2) + out.shape[1:])
+            out = jnp.concatenate([d[:, 0], d[:, 1]], axis=0)
+        return out

@@ -10,7 +10,7 @@ from .mesh import (
     tp_shard_params,
     tp_spec,
 )
-from .pipeline import pipeline_scan
+from .pipeline import pipeline_context, pipeline_scan, pipeline_scope
 
 __all__ = [
     "data_sharded",
@@ -18,7 +18,9 @@ __all__ = [
     "fsdp_spec",
     "make_mesh",
     "make_mesh_2d",
+    "pipeline_context",
     "pipeline_scan",
+    "pipeline_scope",
     "replicate",
     "replicated",
     "shard_batch",

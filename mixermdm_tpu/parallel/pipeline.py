@@ -33,6 +33,8 @@ fsdp (fsdp_shard_params) x pp (this module).
 
 from __future__ import annotations
 
+import contextlib
+import threading
 from typing import Any, Callable, Optional
 
 import jax
@@ -55,6 +57,35 @@ Pytree = Any
 
 def _leading(tree: Pytree) -> int:
     return jax.tree_util.tree_leaves(tree)[0].shape[0]
+
+
+# --------------------------------------------------------------------------
+# Pipeline context: how the denoisers' layer stacks opt into pipelining.
+#
+# ``with pipeline_scope(mesh):`` makes every ``In2INDenoiser`` apply inside
+# the block run its scanned layer stack through ``pipeline_scan`` instead of
+# the sequential ``nn.scan`` (models/in2in.py:run_stack) — this is what the
+# user-facing ``--pp`` CLI flags set.  Thread-local so CPU test meshes in
+# worker threads can't leak into each other.
+# --------------------------------------------------------------------------
+
+_TLS = threading.local()
+
+
+def pipeline_context():
+    """The active ``(mesh, axis, n_microbatches)`` or ``None``."""
+    return getattr(_TLS, "pipeline", None)
+
+
+@contextlib.contextmanager
+def pipeline_scope(mesh: Mesh, *, axis: str = "pipe",
+                   n_microbatches: Optional[int] = None):
+    prev = getattr(_TLS, "pipeline", None)
+    _TLS.pipeline = (mesh, axis, n_microbatches)
+    try:
+        yield
+    finally:
+        _TLS.pipeline = prev
 
 
 def pipeline_scan(

@@ -1,10 +1,15 @@
 """Per-kernel microbench of the fused Pallas sub-blocks at production shapes.
 
 Times each fused block (SA / CA / FFN) at the exact shapes the sampling
-chain dispatches (interaction denoiser B=20, individual B=40 person-stacked,
-E=1024, H=8, F=2048, T=299), bf16 vs W8A8, and prints achieved TFLOP/s vs
-the analytic speed-of-light — this is how we decide which kernel still has
-headroom (BASELINE.md round-3 breakdown).
+chain dispatches, bf16 vs W8A8, and prints achieved TFLOP/s vs the analytic
+speed-of-light — this is how we decide which kernel still has headroom
+(BASELINE.md round-3 breakdown).
+
+The driver workload (B=10 samples, CFG-doubled to 20) person-stacks BOTH
+denoisers' streams into the batch (blocks.py:172-179 interaction;
+mixer.py:172-188 individual), so every fused dispatch in the real chain
+runs at 2B=40: the in2IN denoisers at E=1024/H=8/F=2048 and the mixer
+core + influence net at E=512/H=8/F=1024 (configs/models/MixerMDM.yaml).
 
 Usage: python scripts/microbench_fused.py   (idle machine, one TPU chip)
 """
@@ -71,12 +76,15 @@ def main():
 
     enable_compilation_cache()
     rng = np.random.default_rng(0)
-    E, H, F, T = 1024, 8, 2048, 299
+    T = 299
 
     def arr(*s):
         return jnp.asarray(rng.standard_normal(s) * 0.05, jnp.bfloat16)
 
-    for B, tag in ((20, "interaction B=20"), (40, "individual 2B=40")):
+    for B, E, H, F, tag in (
+        (40, 1024, 8, 2048, "in2IN denoisers (person-stacked 2B=40)"),
+        (40, 512, 8, 1024, "mixer core / influence (2B=40)"),
+    ):
         x = arr(B, T, E)
         sc, sh = arr(B, E), arr(B, E)
         ws = [jnp.asarray(rng.standard_normal((E, E)) * 0.02, jnp.float32)

@@ -184,6 +184,24 @@ class TestCLISmoke:
         assert motion.shape == (2, 16, 524)
         assert np.isfinite(motion).all()
 
+    def test_infer_mixermdm_pp_tiny(self, tmp_path):
+        """GPipe pipeline parallelism (--pp): the in2IN denoiser stacks run
+        over a 2-stage 'pipe' mesh (tiny config = 2 layers, 1 per stage)."""
+        import numpy as np
+
+        out = str(tmp_path / "infer_pp")
+        self._run_cli_subprocess(
+            "mixermdm_tpu.cli.infer_mixermdm",
+            ["--tiny", "--pp", "2", "--name", "smoke", "--out-dir", out,
+             "--num-samples", "2",
+             "--text-interaction", "two people hug",
+             "--text-individual1", "a person hugs",
+             "--text-individual2", "a person hugs back"],
+        )
+        motion = np.load(os.path.join(out, "smoke_motion.npy"))
+        assert motion.shape == (2, 16, 524)
+        assert np.isfinite(motion).all()
+
     def test_train_mixermdm_tp_sp_tiny(self, tmp_path):
         """Sequence parallelism rides on top of --tp (Megatron-SP via GSPMD
         constraints); the training step must run end-to-end."""

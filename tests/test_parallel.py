@@ -448,6 +448,41 @@ class TestPipelineParallel:
         np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
                                    rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.parametrize("mode", ["individual", "interaction"])
+    def test_denoiser_pipeline_scope_matches_sequential(self, mode):
+        """The user-reachable --pp path: the full In2INDenoiser applied under
+        ``pipeline_scope`` equals the sequential apply — including the
+        cross-person partner swap (pair-interleaved microbatching) in
+        interaction mode."""
+        from mixermdm_tpu.models.in2in import In2INDenoiser
+        from mixermdm_tpu.parallel.pipeline import pipeline_scope
+
+        F, B, T, L = 8, 8, 12, 4
+        feats = F if mode == "individual" else F
+        den = In2INDenoiser(
+            input_feats=feats, mode=mode, latent_dim=32, ff_size=64,
+            num_layers=L, num_heads=2, text_dim=16, dropout=0.0,
+        )
+        xdim = F if mode == "individual" else 2 * F
+        cdim = 16 if mode == "individual" else 3 * 16
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, T, xdim))
+        t = jnp.arange(B) * 37 % 1000
+        cond = jax.random.normal(jax.random.PRNGKey(1), (B, cdim))
+        params = den.init(jax.random.PRNGKey(2), x, t, None, cond)["params"]
+        # zero-init output layers make everything 0 — perturb for signal
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.03 * np.float32(1.0), params
+        )
+
+        ref = den.apply({"params": params}, x, t, None, cond)
+        mesh = make_mesh(4, axis="pipe")
+        with pipeline_scope(mesh):
+            out = jax.jit(
+                lambda p, x, t, c: den.apply({"params": p}, x, t, None, c)
+            )(params, x, t, cond)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+
 
 class TestMultiDeviceTraining:
     @isolated
