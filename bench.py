@@ -122,7 +122,8 @@ def estimate_chain_flops(system, B: int, T: int) -> float:
     return float(n_steps) * (den1 + den2 + core)
 
 def main(tiny: bool = False, repeats: int = 3, quant: bool | None = None,
-         steps: int | None = None, quant_min_dim: int | None = None):
+         steps: int | None = None, quant_min_dim: int | None = None,
+         batch: int | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -140,7 +141,7 @@ def main(tiny: bool = False, repeats: int = 3, quant: bool | None = None,
     system = build_system(tiny, quant=quant, steps=steps)
     params = system.init_params(jax.random.PRNGKey(0))
 
-    b = 2 if tiny else B
+    b = batch or (2 if tiny else B)
     t = 16 if tiny else T
     cond = jax.random.normal(jax.random.PRNGKey(1), (b, 8 * system.text_dim))
 
@@ -208,4 +209,11 @@ if __name__ == "__main__":
     qmd = None
     if "--quant-min-dim" in sys.argv:
         qmd = int(sys.argv[sys.argv.index("--quant-min-dim") + 1])
-    main(tiny="--tiny" in sys.argv, quant=quant, steps=steps, quant_min_dim=qmd)
+    batch = None
+    if "--batch" in sys.argv:
+        # Serving-throughput knob (the driver metric stays at the reference
+        # CLI's B=10): bigger generation batches fill the kernels' grids
+        # further — see the BASELINE.md throughput-vs-batch row.
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
+    main(tiny="--tiny" in sys.argv, quant=quant, steps=steps,
+         quant_min_dim=qmd, batch=batch)

@@ -8,8 +8,12 @@ warm executable — so request latency is pure device time (~1.4 s for 10
 samples at the production window on one v5e chip, BASELINE.md) instead of
 rebuild + retrace + compile.
 
-HTTP API (stdlib ``http.server``; single-chip sampling is serialised by a
-lock, requests queue):
+HTTP API (stdlib ``http.server``).  Single-chip sampling is serialised by a
+batcher thread with CONTINUOUS BATCHING: requests that queue up while the
+chip is busy (or within ``--linger-ms`` of each other) coalesce into one
+compiled-batch dispatch — up to --batch-size rows answered by a single
+chain.  Explicitly seeded requests run solo (bit-reproducible); unseeded
+ones coalesce.
 
     GET  /healthz   -> {"status": "ok", "warm": true, ...}
     POST /generate  -> body {"text_interaction": str,
@@ -20,6 +24,13 @@ lock, requests queue):
                              "format": "npy_base64" | "json"}
                     <- {"shape": [n, T, 524], "dtype": "float32",
                         "motion_npy_b64": ...} (or "motion": nested lists)
+
+    Multi-prompt batching: instead of the three text fields, a request may
+    carry ``"prompts": [{"text_interaction": ..., "text_individual1": ...,
+    "text_individual2": ...}, ...]`` (up to --batch-size entries).  The
+    distinct prompts fill the compiled batch in one device dispatch — row i
+    of the response is prompt i's sample — so serving N different requests
+    costs one chain, not N.
 
 Requests are padded to the served batch size so the compiled program is
 shape-stable; the pad rows are dropped before the response.
@@ -32,6 +43,91 @@ import io
 import json
 import threading
 import time
+
+
+class _Batcher:
+    """Continuous batching over one compiled sampling program.
+
+    Concurrent ``/generate`` requests coalesce into ONE device dispatch: the
+    compiled program has a fixed batch of ``capacity`` rows and the single
+    chip serialises dispatches anyway, so merging queued requests multiplies
+    multi-client throughput by up to ``capacity``x at unchanged latency.
+
+    Semantics: requests WITHOUT an explicit seed coalesce (the batch seed is
+    the running batch counter); a request WITH an explicit seed runs solo so
+    its output is bit-reproducible regardless of traffic.  FIFO order is
+    preserved — coalescing only merges a contiguous run of unseeded jobs.
+    ``linger_s`` optionally holds an idle batch open for stragglers (burst
+    traffic); 0 (the default) dispatches immediately.
+    """
+
+    def __init__(self, generate_rows, capacity: int, linger_s: float = 0.0):
+        self._generate = generate_rows  # (rows, seed) -> np (len(rows), T, F)
+        self.capacity = capacity
+        self.linger_s = linger_s
+        self._cv = threading.Condition()
+        self._queue: list[dict] = []
+        self.batches = 0
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name="serve-batcher"
+        )
+        self._thread.start()
+
+    def submit(self, rows: list, seed):
+        """Block until this request's rows are sampled; returns (motion,
+        used_seed).  ``seed=None`` opts into coalescing."""
+        job = {"rows": rows, "seed": seed, "done": threading.Event(),
+               "result": None, "used_seed": None, "error": None}
+        with self._cv:
+            self._queue.append(job)
+            self._cv.notify_all()
+        job["done"].wait()
+        if job["error"] is not None:
+            raise job["error"]
+        return job["result"], job["used_seed"]
+
+    def _take_batch(self) -> list[dict]:
+        """Pop the next dispatch (head job, plus — if the head is unseeded —
+        the following contiguous unseeded jobs that fit)."""
+        jobs = [self._queue.pop(0)]
+        if jobs[0]["seed"] is None:
+            n = len(jobs[0]["rows"])
+            while (self._queue and self._queue[0]["seed"] is None
+                   and n + len(self._queue[0]["rows"]) <= self.capacity):
+                j = self._queue.pop(0)
+                n += len(j["rows"])
+                jobs.append(j)
+        return jobs
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+                if self.linger_s > 0 and self._queue[0]["seed"] is None:
+                    deadline = time.monotonic() + self.linger_s
+                    while (time.monotonic() < deadline
+                           and sum(len(j["rows"]) for j in self._queue
+                                   if j["seed"] is None) < self.capacity):
+                        self._cv.wait(timeout=deadline - time.monotonic())
+                jobs = self._take_batch()
+            self.batches += 1
+            seed = jobs[0]["seed"]
+            used = self.batches if seed is None else int(seed)
+            rows = [r for j in jobs for r in j["rows"]]
+            try:
+                motion = self._generate(rows, used)
+                off = 0
+                for j in jobs:
+                    j["result"] = motion[off:off + len(j["rows"])]
+                    j["used_seed"] = used
+                    off += len(j["rows"])
+            except Exception as e:  # surface to every waiter, keep serving
+                for j in jobs:
+                    j["error"] = e
+            finally:
+                for j in jobs:
+                    j["done"].set()
 
 
 def main(argv=None):
@@ -55,6 +151,10 @@ def main(argv=None):
                              "backend init — used by the CPU smoke tests")
     parser.add_argument("--no-warmup", action="store_true",
                         help="skip the startup compile (first request pays it)")
+    parser.add_argument("--linger-ms", type=float, default=0.0,
+                        help="hold an idle batch open this long for more "
+                             "requests to coalesce (continuous batching of "
+                             "burst traffic); 0 dispatches immediately")
     args = parser.parse_args(argv)
 
     import jax
@@ -84,25 +184,31 @@ def main(argv=None):
 
     B, window = args.batch_size, args.window
     state = {"warm": False, "requests": 0}
-    lock = threading.Lock()  # one chip — serialise sampling
 
-    def generate(texts: dict, n: int, seed: int):
+    def generate(rows: list, seed: int):
+        """Sample one compiled-batch dispatch: row i of the output answers
+        prompt ``rows[i]``.  Pad rows (reusing the last prompt) keep the
+        program shape-stable and are dropped before returning."""
+        n = len(rows)
+        padded = rows + [rows[-1]] * (B - n)
         batch = {
-            "text_interaction": [texts["text_interaction"]] * B,
-            "text_individual1": [texts["text_individual1"]] * B,
-            "text_individual2": [texts["text_individual2"]] * B,
+            k: [p[k] for p in padded]
+            for k in ("text_interaction", "text_individual1",
+                      "text_individual2")
         }
         cond = system.generate_cond(params, batch)
         out = system.sample(params, cond, window,
                             jax.random.PRNGKey(seed))
         return np.asarray(out[:n], np.float32)
 
+    batcher = _Batcher(generate, B, linger_s=args.linger_ms / 1e3)
+
     if not args.no_warmup:
         t0 = time.time()
         print(f"warming the sampling program (B={B}, T={window}) ...",
               flush=True)
-        generate({"text_interaction": "warmup", "text_individual1": "warmup",
-                  "text_individual2": "warmup"}, 1, 0)
+        generate([{"text_interaction": "warmup", "text_individual1": "warmup",
+                   "text_individual2": "warmup"}], 0)
         print(f"warm in {time.time() - t0:.1f}s", flush=True)
         state["warm"] = True
 
@@ -124,35 +230,49 @@ def main(argv=None):
             if self.path == "/healthz":
                 self._send(200, {"status": "ok", "warm": state["warm"],
                                  "batch_size": B, "window": window,
-                                 "requests": state["requests"]})
+                                 "requests": state["requests"],
+                                 "batches": batcher.batches})
             else:
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
             if self.path != "/generate":
                 return self._send(404, {"error": "unknown path"})
+            keys = ("text_interaction", "text_individual1", "text_individual2")
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                texts = {
-                    k: str(req[k]) for k in
-                    ("text_interaction", "text_individual1", "text_individual2")
-                }
-            except (KeyError, ValueError) as e:
+                if "prompts" in req:
+                    prompts = [{k: str(p[k]) for k in keys}
+                               for p in req["prompts"]]
+                    if not 1 <= len(prompts) <= B:
+                        return self._send(400, {
+                            "error": f"prompts must have 1..{B} entries"})
+                    n = len(prompts)
+                else:
+                    prompts = [{k: str(req[k]) for k in keys}]
+                    n = int(req.get("num_samples", 1))
+            except (KeyError, TypeError, ValueError) as e:
                 return self._send(400, {"error": f"bad request: {e!r}"})
-            n = int(req.get("num_samples", 1))
             if not 1 <= n <= B:
                 return self._send(400, {"error": f"num_samples must be in [1, {B}]"})
-            seed = int(req.get("seed", state["requests"] + 1))
+            # One row per requested sample: a single prompt replicates n
+            # times, a prompt list contributes one row each.
+            rows = [prompts[min(i, len(prompts) - 1)] for i in range(n)]
+            seed = req.get("seed")  # None -> coalescible (see _Batcher)
             t0 = time.time()
-            with lock:
-                motion = generate(texts, n, seed)
-                state["warm"] = True
-                state["requests"] += 1
+            try:
+                motion, used_seed = batcher.submit(
+                    rows, None if seed is None else int(seed)
+                )
+            except Exception as e:  # sampling failure -> 500, keep serving
+                return self._send(500, {"error": f"{type(e).__name__}: {e}"})
+            state["warm"] = True
+            state["requests"] += 1
             resp = {
                 "shape": list(motion.shape),
                 "dtype": "float32",
-                "seed": seed,
+                "seed": used_seed,
                 "latency_s": round(time.time() - t0, 4),
             }
             if req.get("format", "npy_base64") == "json":

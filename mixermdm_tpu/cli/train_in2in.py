@@ -29,6 +29,10 @@ def main(argv=None):
     parser.add_argument("--save-epoch", type=int, default=100,
                         help="save params + full train state every N epochs "
                              "(reference SAVE_EPOCH, configs/train)")
+    parser.add_argument("--nan-guard", type=int, default=0, metavar="N",
+                        help="failure detection: skip updates with "
+                             "non-finite gradients; error after N "
+                             "consecutive bad steps (0 = off)")
     parser.add_argument("--tiny", action="store_true")
     parser.add_argument("--max-steps", type=int, default=None)
     args = parser.parse_args(argv)
@@ -105,7 +109,8 @@ def main(argv=None):
 
     mesh = make_data_mesh_for_batch(args.batch_size)
     trainer = BaseTrainer(system, lr=args.lr, weight_decay=args.weight_decay,
-                          mesh=mesh, lr_schedule=lr_schedule, donate=True)
+                          mesh=mesh, lr_schedule=lr_schedule, donate=True,
+                          nan_guard=args.nan_guard)
     state = trainer.init_state(params)
     if args.resume == "auto":
         from ..train.checkpoint import latest_train_state_path

@@ -39,6 +39,11 @@ def main(argv=None):
                         help="ZeRO-3: shard params + optimizer state over "
                              "the data axis (all-gather at use, "
                              "reduce-scatter grads); composes with --tp")
+    parser.add_argument("--nan-guard", type=int, default=0, metavar="N",
+                        help="failure detection: skip G/D updates with "
+                             "non-finite gradients in-graph instead of "
+                             "poisoning the params; error out after N "
+                             "CONSECUTIVE bad steps (0 = off)")
     parser.add_argument("--quant-train", action="store_true",
                         help="W8A8 the frozen denoiser forwards inside the "
                              "training loss (QUANT_TRAIN; the generator then "
@@ -112,6 +117,7 @@ def main(argv=None):
         l1=float(tr.LOSS_L1),
         mesh=mesh,
         donate=True,   # production loop threads the state; in-place updates
+        nan_guard=args.nan_guard,
     )
     state = trainer.init_state(params)
     if args.resume == "auto":

@@ -34,6 +34,7 @@ def make_adamw(
     grad_acc_steps: int = 1,
     schedule=None,
     mu_dtype=None,
+    nan_guard: int = 0,
 ) -> optax.GradientTransformation:
     """AdamW + clip + grad accumulation (reference train/mixermdm.py:62-97).
 
@@ -41,6 +42,16 @@ def make_adamw(
     an HBM-traffic knob for the measured-HBM-bound training step; optax
     casts back to the param dtype inside the update, so the math is the
     standard Adam update on a rounded m.
+
+    ``nan_guard > 0`` adds failure detection the reference lacks (SURVEY §5:
+    fault tolerance there is checkpoint-resume only): non-finite gradients
+    (NaN/inf from a bad batch or an fp blow-up) skip the update instead of
+    poisoning the params/moments — pure in-graph data flow, no host sync
+    (``optax.apply_if_finite``).  Any finite step resets the consecutive
+    counter; after ``nan_guard`` CONSECUTIVE bad steps the guard stops
+    masking and lets the non-finite update through, so a persistent
+    divergence fails loudly (NaN loss/params) instead of spinning silently.
+    The counter is observable via :func:`notfinite_count`.
     """
     tx = []
     if clip_norm is not None:
@@ -50,4 +61,14 @@ def make_adamw(
     opt = optax.chain(*tx)
     if grad_acc_steps > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=grad_acc_steps)
+    if nan_guard > 0:
+        opt = optax.apply_if_finite(opt, max_consecutive_errors=nan_guard)
     return opt
+
+
+def notfinite_count(opt_state):
+    """The nan-guard's consecutive-non-finite-step counter (0 when the guard
+    is off or the state has no counter)."""
+    if isinstance(opt_state, optax.ApplyIfFiniteState):
+        return opt_state.notfinite_count
+    return 0

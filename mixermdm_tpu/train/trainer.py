@@ -111,16 +111,19 @@ class MixerTrainer:
         mesh=None,
         donate: bool = False,
         mu_dtype=None,
+        nan_guard: int = 0,
     ):
         self.system = system
         self.discriminator_steps = discriminator_steps
         self.loss_kw = dict(
             i_loss_factor=i_loss_factor, I_loss_factor=I_loss_factor, l1=l1
         )
+        # nan_guard > 0: non-finite G or D gradients skip that side's update
+        # in-graph instead of poisoning params/moments (see optim.make_adamw).
         self.opt_gen = make_adamw(lr, weight_decay, clip_norm, grad_acc_steps,
-                                  mu_dtype=mu_dtype)
+                                  mu_dtype=mu_dtype, nan_guard=nan_guard)
         self.opt_disc = make_adamw(lr, weight_decay, clip_norm, grad_acc_steps,
-                                   mu_dtype=mu_dtype)
+                                   mu_dtype=mu_dtype, nan_guard=nan_guard)
         self.mesh = mesh
 
         # Sharding rides on the arguments: callers place the batch with
@@ -238,13 +241,14 @@ class BaseTrainer:
         sampler: Optional[str] = None,
         lr_schedule=None,
         donate: bool = False,
+        nan_guard: int = 0,
     ):
         from ..diffusion.samplers import create_named_schedule_sampler
 
         self.system = system
         self.train_text_head = train_text_head
         self.opt = make_adamw(lr, weight_decay, clip_norm, grad_acc_steps,
-                              schedule=lr_schedule)
+                              schedule=lr_schedule, nan_guard=nan_guard)
         self.mesh = mesh
         self._donate = donate
 

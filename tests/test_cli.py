@@ -73,6 +73,21 @@ class TestCLISmoke:
         assert motion.shape[0] == 1
         assert np.isfinite(motion).all()
 
+    def test_infer_in2in_pp_tiny(self, tmp_path):
+        """GPipe pipeline parallelism on the in2IN CLI (--pp): the denoiser
+        stacks run over a 2-stage 'pipe' mesh of virtual devices."""
+        import numpy as np
+
+        out = str(tmp_path / "in2in_pp")
+        self._run_cli_subprocess(
+            "mixermdm_tpu.cli.infer_in2in",
+            ["--tiny", "--pp", "2", "--name", "pp", "--out-dir", out,
+             "--text", "two people dance"],
+        )
+        motion = np.load(os.path.join(out, "pp_motion.npy"))
+        assert motion.shape[0] == 1
+        assert np.isfinite(motion).all()
+
     def test_eval_mixermdm_tiny(self, tmp_path):
         from mixermdm_tpu.cli.eval_mixermdm import main
 
@@ -236,6 +251,116 @@ class TestCLISmoke:
         assert "infer-mixermdm" in capsys.readouterr().out
 
 
+class TestBatcher:
+    """Continuous-batching unit tests against a fake sampler (no JAX)."""
+
+    def _make(self, capacity=4, linger_s=0.0, delay_s=0.0):
+        import threading
+        import numpy as np
+        from mixermdm_tpu.cli.serve import _Batcher
+
+        calls = []
+        gate = threading.Event()
+        gate.set()
+
+        def generate(rows, seed):
+            gate.wait()
+            calls.append((len(rows), seed))
+            if delay_s:
+                import time
+                time.sleep(delay_s)
+            # row i's "motion" encodes its prompt id for routing checks
+            return np.array([[float(r["text_interaction"])] for r in rows])
+
+        return _Batcher(generate, capacity, linger_s=linger_s), calls, gate
+
+    @staticmethod
+    def _row(i):
+        return {"text_interaction": str(i), "text_individual1": "x",
+                "text_individual2": "x"}
+
+    def test_seeded_requests_run_solo_and_reproducibly(self):
+        b, calls, _ = self._make()
+        out1, s1 = b.submit([self._row(1)], 42)
+        out2, s2 = b.submit([self._row(2)], 42)
+        assert s1 == s2 == 42
+        assert [c[1] for c in calls] == [42, 42]
+        assert out1[0, 0] == 1.0 and out2[0, 0] == 2.0
+
+    def test_unseeded_queued_requests_coalesce_in_fifo_order(self):
+        import threading
+
+        b, calls, gate = self._make(capacity=4)
+        gate.clear()  # hold the sampler so submissions pile up
+        results = {}
+
+        def req(i):
+            results[i] = b.submit([self._row(i)], None)
+
+        threads = []
+        t0 = threading.Thread(target=req, args=(0,))
+        t0.start()
+        # first job is taken by the batcher thread (blocked in the sampler);
+        # give it a beat, then pile three more into the queue
+        import time
+        time.sleep(0.2)
+        for i in (1, 2, 3):
+            t = threading.Thread(target=req, args=(i,))
+            t.start()
+            threads.append(t)
+        time.sleep(0.2)
+        gate.set()
+        t0.join(timeout=30)
+        for t in threads:
+            t.join(timeout=30)
+        assert set(results) == {0, 1, 2, 3}
+        # first dispatch = job 0 alone; the three queued ones coalesced
+        assert [c[0] for c in calls] == [1, 3]
+        for i in range(4):
+            motion, _ = results[i]
+            assert motion[0, 0] == float(i)  # routed to the right waiter
+
+    def test_capacity_splits_batches(self):
+        import threading
+        import time
+
+        b, calls, gate = self._make(capacity=2)
+        gate.clear()
+        threads = [threading.Thread(target=b.submit,
+                                    args=([self._row(9)], None))]
+        threads[0].start()
+        time.sleep(0.2)
+        for _ in range(3):
+            t = threading.Thread(target=b.submit, args=([self._row(8)], None))
+            t.start()
+            threads.append(t)
+        time.sleep(0.2)
+        gate.set()
+        for t in threads:
+            t.join(timeout=30)
+        assert [c[0] for c in calls] == [1, 2, 1]
+
+    def test_sampler_error_propagates_to_every_waiter(self):
+        import numpy as np
+        from mixermdm_tpu.cli.serve import _Batcher
+
+        def generate(rows, seed):
+            raise RuntimeError("boom")
+
+        b = _Batcher(generate, 4)
+        import pytest
+
+        with pytest.raises(RuntimeError, match="boom"):
+            b.submit([self._row(1)], None)
+        # the batcher thread survives the error
+        def ok(rows, seed):
+            return np.zeros((len(rows), 1))
+
+        b._generate = ok
+        out, _ = b.submit([self._row(1)], None)
+        assert out.shape == (1, 1)
+
+
 class TestServe:
     """The warm-compiled HTTP generation server (cli/serve.py)."""
 
@@ -315,6 +440,125 @@ class TestServe:
                 raise AssertionError("missing-texts request should 400")
             except urllib.error.HTTPError as e:
                 assert e.code == 400
+
+            # Multi-prompt batching: distinct prompts fill the compiled
+            # batch in ONE dispatch; row i answers prompt i.
+            body = json.dumps({
+                "prompts": [
+                    {"text_interaction": "two people bow",
+                     "text_individual1": "a person bows",
+                     "text_individual2": "a person bows back"},
+                    {"text_interaction": "two people wave",
+                     "text_individual1": "a person waves",
+                     "text_individual2": "a person waves back"},
+                ],
+                "seed": 7,
+            }).encode()
+            req = urllib.request.Request(
+                base + "/generate", data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                resp = json.load(r)
+            assert resp["shape"] == [2, 16, 524]
+            motion = np.load(io.BytesIO(base64.b64decode(resp["motion_npy_b64"])))
+            assert np.isfinite(motion).all()
+
+            # Over-long prompt lists surface as 400.
+            too_many = json.dumps({"prompts": [
+                {"text_interaction": "t", "text_individual1": "t",
+                 "text_individual2": "t"}] * 3}).encode()
+            bad = urllib.request.Request(
+                base + "/generate", data=too_many,
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                urllib.request.urlopen(bad, timeout=60)
+                raise AssertionError("3 prompts at B=2 should 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        finally:
+            proc.terminate()
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait(timeout=30)
+
+    def test_serve_continuous_batching_coalesces(self):
+        """Two concurrent unseeded requests inside the linger window answer
+        from ONE device dispatch (healthz 'batches' counts dispatches)."""
+        import json
+        import socket
+        import subprocess
+        import sys
+        import threading
+        import time
+        import urllib.request
+
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+
+        root = os.path.join(os.path.dirname(__file__), "..")
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "mixermdm_tpu", "serve", "--tiny",
+             "--platform", "cpu", "--port", str(port),
+             "--no-warmup", "--linger-ms", "2000"],
+            cwd=root, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        base = f"http://127.0.0.1:{port}"
+        try:
+            deadline = time.time() + 300
+            up = False
+            while time.time() < deadline and not up:
+                if proc.poll() is not None:
+                    raise AssertionError(
+                        f"server died rc={proc.returncode}:\n"
+                        + proc.stdout.read())
+                try:
+                    with urllib.request.urlopen(base + "/healthz",
+                                                timeout=5) as r:
+                        json.load(r)
+                    up = True
+                except OSError:
+                    time.sleep(1.0)
+            assert up, "server never came up"
+
+            results = {}
+
+            def fire(i):
+                body = json.dumps({
+                    "text_interaction": f"two people pose {i}",
+                    "text_individual1": "a person poses",
+                    "text_individual2": "a person poses",
+                    "num_samples": 1,
+                }).encode()
+                req = urllib.request.Request(
+                    base + "/generate", data=body,
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req, timeout=600) as r:
+                    results[i] = json.load(r)
+
+            threads = [threading.Thread(target=fire, args=(i,))
+                       for i in range(2)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=600)
+            assert set(results) == {0, 1}
+            for i in range(2):
+                assert results[i]["shape"] == [1, 16, 524]
+            # both requests share one dispatch -> same batch seed, 1 batch
+            assert results[0]["seed"] == results[1]["seed"]
+            with urllib.request.urlopen(base + "/healthz", timeout=5) as r:
+                health = json.load(r)
+            assert health["requests"] == 2
+            assert health["batches"] == 1, health
         finally:
             proc.terminate()
             try:

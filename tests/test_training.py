@@ -38,6 +38,103 @@ class TestBaseTrainerLearns:
         assert last < first, f"loss did not decrease: {first} -> {last}"
 
 
+class TestNanGuard:
+    """Failure detection (--nan-guard): non-finite gradients skip the update
+    in-graph instead of poisoning the params/moments; finite steps proceed
+    and reset the consecutive-error counter."""
+
+    def _setup(self, nan_guard):
+        sys_ = In2INSystem(
+            tiny_config(latent=32, layers=1, heads=2, diffusion_steps=8),
+            mode="individual", clip_cfg=ClipTextConfig.tiny(),
+        )
+        params = sys_.init_params(jax.random.PRNGKey(0))
+        trainer = BaseTrainer(sys_, lr=3e-3, nan_guard=nan_guard)
+        state = trainer.init_state(params)
+        B, T = 4, 12
+        ctx = sys_.text.clip_cfg.context_length
+        batch = {
+            "motions": jax.random.normal(jax.random.PRNGKey(1), (B, T, 262)) * 0.3,
+            "motion_lens": jnp.asarray([T] * B),
+            "tokens": jnp.zeros((B, ctx), jnp.int32)
+            .at[:, 0].set(49406).at[:, 1].set(49407),
+        }
+        return trainer, state, batch
+
+    @staticmethod
+    def _flat(tree):
+        return jnp.concatenate(
+            [jnp.ravel(x) for x in jax.tree_util.tree_leaves(tree)]
+        )
+
+    def test_nan_batch_skips_update_then_recovers(self):
+        from mixermdm_tpu.train.optim import notfinite_count
+
+        trainer, state, batch = self._setup(nan_guard=10)
+        bad = dict(batch)
+        bad["motions"] = batch["motions"].at[0, 0, 0].set(jnp.nan)
+
+        p0 = self._flat(state.params)
+        s1, losses = trainer.step(state, bad, jax.random.PRNGKey(2))
+        assert jnp.array_equal(p0, self._flat(s1.params)), \
+            "NaN batch must not change params"
+        assert int(notfinite_count(s1.opt_state)) == 1
+
+        s2, losses = trainer.step(s1, batch, jax.random.PRNGKey(3))
+        assert not jnp.array_equal(p0, self._flat(s2.params)), \
+            "finite batch must update params"
+        assert bool(jnp.isfinite(self._flat(s2.params)).all())
+        assert int(notfinite_count(s2.opt_state)) == 0  # reset on success
+
+    def test_guard_off_is_the_default_chain(self):
+        from mixermdm_tpu.train.optim import notfinite_count
+
+        trainer, state, batch = self._setup(nan_guard=0)
+        s1, _ = trainer.step(state, batch, jax.random.PRNGKey(2))
+        assert int(notfinite_count(s1.opt_state)) == 0
+
+    def test_mixer_trainer_guard_covers_both_sides(self):
+        import sys as _s, os
+
+        _s.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from __graft_entry__ import _tiny_system
+        from mixermdm_tpu.train.optim import notfinite_count
+
+        system = _tiny_system()
+        params = system.init_params(jax.random.PRNGKey(0))
+        params = jax.tree_util.tree_map(
+            lambda x: x + 0.01 * jax.random.normal(jax.random.PRNGKey(7), x.shape),
+            params,
+        )
+        trainer = MixerTrainer(system, lr=1e-3, grad_acc_steps=1, nan_guard=5)
+        state = trainer.init_state(params)
+        B, T = 2, 12
+        ctx = system.text.clip_cfg.context_length
+        tok = (jnp.zeros((B, ctx), jnp.int32)
+               .at[:, 0].set(49406).at[:, 1].set(49407))
+        batch = {
+            "motions": jax.random.normal(jax.random.PRNGKey(1), (B, T, 524)) * 0.1,
+            "motion_lens": jnp.asarray([T - 2, T - 4]),
+            "tokens_inter": tok, "tokens_i1": tok, "tokens_i2": tok,
+        }
+        bad = dict(batch)
+        bad["motions"] = batch["motions"].at[:].set(jnp.nan)
+
+        p0 = self._flat(state.params)
+        s1, g_losses, d_losses = trainer.fit_step(
+            state, bad, jax.random.PRNGKey(2), batch_idx=0
+        )
+        assert jnp.array_equal(p0, self._flat(s1.params))
+        assert int(notfinite_count(s1.opt_gen)) == 1
+        assert int(notfinite_count(s1.opt_disc)) == 1
+
+        s2, g_losses, d_losses = trainer.fit_step(
+            s1, batch, jax.random.PRNGKey(3), batch_idx=1
+        )
+        assert not jnp.array_equal(p0, self._flat(s2.params))
+        assert bool(jnp.isfinite(self._flat(s2.params)).all())
+
+
 class TestMixerTrainerAlternation:
     def test_g_and_d_update_disjoint_params(self):
         import sys as _s, os
