@@ -78,7 +78,14 @@ class InterGenSystem:
         return self.text.encode_texts(params["text"], texts, head="interaction")
 
     def encode_cond_tokens(self, params, batch_tokens: dict):
-        return self.text.encode(params["text"], batch_tokens["tokens"], "interaction")
+        # Jitted lazily — eager CLIP-tower dispatch costs seconds over the
+        # device tunnel (see In2INSystem.encode_cond_tokens).
+        if not hasattr(self, "_jit_enc_tokens"):
+            self._jit_enc_tokens = jax.jit(
+                lambda p, t: self.text.encode(p["text"], t["tokens"],
+                                              "interaction")
+            )
+        return self._jit_enc_tokens(params, batch_tokens)
 
     def denoiser_apply(self, cast: bool = False):
         d = self.denoiser

@@ -80,8 +80,15 @@ class MDMSystem:
         return {"clip": clip_params, "embed_text": embed_params, "denoiser": dn_params}
 
     def encode_cond_tokens(self, params, batch_tokens: dict):
-        """Jittable cond from pre-tokenised text (key ``tokens``, already in
-        the 22-context/77-pad layout)."""
+        """Cond from pre-tokenised text (key ``tokens``, already in the
+        22-context/77-pad layout).  Jitted lazily — eager CLIP-tower
+        dispatch costs seconds over the device tunnel (see
+        In2INSystem.encode_cond_tokens)."""
+        if not hasattr(self, "_jit_enc_tokens"):
+            self._jit_enc_tokens = jax.jit(self._encode_cond_tokens_impl)
+        return self._jit_enc_tokens(params, batch_tokens)
+
+    def _encode_cond_tokens_impl(self, params, batch_tokens: dict):
         feats = jax.lax.stop_gradient(
             self.clip.apply({"params": params["clip"]}, batch_tokens["tokens"])
         ).astype(jnp.float32)

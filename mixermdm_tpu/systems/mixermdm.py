@@ -312,14 +312,25 @@ class MixerMDMSystem:
         return self.text.encode_texts(params["text"], texts, head="mixer")
 
     def encode_cond(self, params, tokens_inter, tokens_i1, tokens_i2) -> jnp.ndarray:
-        """Jittable cond encoder over pre-tokenised text.
+        """Cond encoder over pre-tokenised text.
 
         Fixed order [I, I_i1, I_i2, ind_i1, ind_i2, mix_I, mix_i1, mix_i2]
         (mixermdm.py:315-356).  The frozen submodels' conds are
         stop-gradiented; the mixer's own head trains (the reference's
         generator optimizer includes ``clipTransEncoder``/``clip_ln``,
         scripts/train/mixermdm.py:62-97).
+
+        Jitted lazily: the 8 CLIP-tower encodes are hundreds of small ops —
+        eager per-op dispatch over the device tunnel costs ~6.5 s/call where
+        the compiled program takes milliseconds, which dominated serving
+        latency and the eval-protocol generation loops.  Trainers calling
+        this inside their own jit simply inline it.
         """
+        if not hasattr(self, "_jit_encode_cond"):
+            self._jit_encode_cond = jax.jit(self._encode_cond_impl)
+        return self._jit_encode_cond(params, tokens_inter, tokens_i1, tokens_i2)
+
+    def _encode_cond_impl(self, params, tokens_inter, tokens_i1, tokens_i2) -> jnp.ndarray:
         enc2 = lambda tok: self.model2.encode_tokens(
             params["model2"], tok, "interaction"
         )

@@ -163,3 +163,46 @@ class TestMixerMDM:
         )
         assert g_core > 0.0       # generator params receive gradient
         assert g_disc == 0.0      # discriminators are frozen on the G step
+
+
+class TestJittedCondEncoders:
+    """The token->cond encoders are lazily jitted (eager per-op CLIP dispatch
+    costs seconds over a device tunnel); the compiled program must match the
+    eager trace."""
+
+    def test_mixer_encode_cond_jit_matches_eager(self):
+        import os
+        import sys as _s
+
+        _s.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from __graft_entry__ import _tiny_system
+
+        system = _tiny_system()
+        params = system.init_params(jax.random.PRNGKey(0))
+        ctx = system.text.clip_cfg.context_length
+        tok = (jnp.zeros((2, ctx), jnp.int32)
+               .at[:, 0].set(49406).at[:, 1].set(49407).at[0, 1].set(320))
+        jitted = system.encode_cond(params, tok, tok, tok)
+        eager = system._encode_cond_impl(params, tok, tok, tok)
+        np.testing.assert_allclose(np.asarray(jitted), np.asarray(eager),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_in2in_build_cond_routes_through_jitted_encoder(self):
+        from mixermdm_tpu.config import tiny_config
+        from mixermdm_tpu.models.clip_text import ClipTextConfig
+        from mixermdm_tpu.systems import In2INSystem
+
+        sys_ = In2INSystem(
+            tiny_config(latent=32, layers=1, heads=2, diffusion_steps=8),
+            mode="dual", clip_cfg=ClipTextConfig.tiny(),
+        )
+        params = sys_.init_params(jax.random.PRNGKey(0))
+        batch = {"text": ["two people dance"] * 2,
+                 "text_individual1": ["a person dances"] * 2,
+                 "text_individual2": ["a person spins"] * 2}
+        cond = sys_.build_cond(params, batch)
+        toks = sys_.tokenize_batch(batch)
+        eager = sys_._encode_cond_tokens_impl(params, toks)
+        assert cond.shape == (2, 5 * sys_.text_dim)
+        np.testing.assert_allclose(np.asarray(cond), np.asarray(eager),
+                                   rtol=2e-5, atol=2e-6)
