@@ -109,7 +109,17 @@ class InterCLIP:
         return params
 
     # ------------------------------------------------------------- encoders
+    # Both encoders are lazily jitted: the eval protocol calls them once per
+    # batch in host loops, and eager per-op dispatch over a device tunnel
+    # costs seconds per call vs milliseconds compiled (the same fix as the
+    # systems' cond encoders).  The evaluator trainer's jitted loss inlines
+    # the impl functions.
     def encode_motion(self, params, motions, motion_lens):
+        if not hasattr(self, "_jit_enc_motion"):
+            self._jit_enc_motion = jax.jit(self._encode_motion_impl)
+        return self._jit_enc_motion(params, motions, motion_lens)
+
+    def _encode_motion_impl(self, params, motions, motion_lens):
         """(B, T, D) raw motions + lengths -> normalised 512-d embeddings
         scaled by latent_scale (models.py:144-154)."""
         B, T = motions.shape[:2]
@@ -121,6 +131,11 @@ class InterCLIP:
         return emb * params["latent_scale"]
 
     def encode_text_tokens(self, params, tokens):
+        if not hasattr(self, "_jit_enc_text"):
+            self._jit_enc_text = jax.jit(self._encode_text_tokens_impl)
+        return self._jit_enc_text(params, tokens)
+
+    def _encode_text_tokens_impl(self, params, tokens):
         """Tokens -> normalised 512-d text embeddings (models.py:156-180)."""
         x = jax.lax.stop_gradient(
             params["token_embedding"][tokens] + params["positional_embedding"][None]

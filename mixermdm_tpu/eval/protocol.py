@@ -27,6 +27,24 @@ from . import metrics as M
 from ..utils.alignment import center_motion, ih_to_smpl, smpl_to_ih
 
 
+def _jit_center(motions):
+    """Per-person centring as ONE compiled program (the geometry chain is
+    dozens of small ops; eager dispatch over a device tunnel costs far more
+    than the compute — retraces per batch shape, which the protocol's fixed
+    batch sizes keep to a handful)."""
+    global _JIT_CENTER
+    if _JIT_CENTER is None:
+        import jax
+
+        _JIT_CENTER = jax.jit(
+            lambda m: smpl_to_ih(center_motion(ih_to_smpl(m)))
+        )
+    return _JIT_CENTER(motions)
+
+
+_JIT_CENTER = None
+
+
 @dataclasses.dataclass(frozen=True)
 class EvalProtocol:
     """The paper's eval constants (scripts/eval/mixermdm.py:257-262)."""
@@ -80,13 +98,13 @@ class EvaluatorWrapperIndividual(EvaluatorWrapper):
         if D == int(self.model.cfg.INPUT_DIM) + 4:
             # Already single-person (e.g. MDM / in2IN-individual generations
             # in the base-model eval): just centre, no person split.
-            persons = smpl_to_ih(center_motion(ih_to_smpl(jnp.asarray(motions))))
+            persons = _jit_center(jnp.asarray(motions))
             return persons, jnp.asarray(motion_lens)
         F = D // 2
         persons = jnp.stack([motions[..., :F], motions[..., F:]], axis=1).reshape(
             2 * B, T, F
         )
-        persons = smpl_to_ih(center_motion(ih_to_smpl(persons)))
+        persons = _jit_center(persons)
         lens = jnp.repeat(jnp.asarray(motion_lens), 2)
         return persons, lens
 
