@@ -201,14 +201,16 @@ def _hinge_weight(mask, B, T, mode: str):
 
 
 def d_hinge_loss(pred, target, weight):
-    """relu(1 - target*pred), weighted mean (reference :1491-1516)."""
-    loss = jax.nn.relu(1.0 - target * pred) * weight
+    """relu(1 - target*pred), weighted mean (reference :1491-1516).
+
+    Reduced in f32 regardless of the logits' compute dtype."""
+    loss = jax.nn.relu(1.0 - target * pred.astype(jnp.float32)) * weight
     return loss.sum() / (weight.sum() + 1e-8)
 
 
 def g_hinge_loss(pred, weight):
     """-pred, weighted mean (reference :1518-1543)."""
-    loss = (-pred) * weight
+    loss = (-pred.astype(jnp.float32)) * weight
     return loss.sum() / (weight.sum() + 1e-8)
 
 
@@ -237,6 +239,7 @@ def mixer_training_losses(
     hinge_mask_mode: str = "reference",
     dropout_rng=None,
     noise=None,
+    compute_dtype=None,
 ):
     """Hinge-GAN losses for generator or discriminator side (:1545-1767).
 
@@ -290,6 +293,15 @@ def mixer_training_losses(
     cond_i1 = cond[:, cond_slices["cond_i1"][0] : cond_slices["cond_i1"][1]]
     cond_i2 = cond[:, cond_slices["cond_i2"][0] : cond_slices["cond_i2"][1]]
 
+    # Discriminator compute dtype: bf16 on TPU mirrors the reference's
+    # Lightning ``precision='16-mixed'`` harness (scripts/train/mixermdm.py:
+    # 337) where every discriminator matmul autocasts to half; the hinge
+    # reductions above stay f32.  The geometry (centring) and the q_sample
+    # arithmetic are untouched.  G-step gradients flow back through the
+    # astype into the (f32) mixer graph.
+    cd = ((lambda a: a.astype(compute_dtype)) if compute_dtype is not None
+          else (lambda a: a))
+
     w = _hinge_weight(mask, B, T, hinge_mask_mode)
     losses = {}
 
@@ -297,9 +309,9 @@ def mixer_training_losses(
         # Freeze discriminators: gradients flow only into the mixer.
         dpi = jax.lax.stop_gradient(params["disc_i"])
         dpI = jax.lax.stop_gradient(params["disc_I"])
-        g_i1 = g_hinge_loss(disc_i_apply(dpi, mo_i1, t_orig, m, cond_i1), w) * i_loss_factor
-        g_i2 = g_hinge_loss(disc_i_apply(dpi, mo_i2, t_orig, m, cond_i2), w) * i_loss_factor
-        g_I = g_hinge_loss(disc_I_apply(dpI, model_output, t_orig, m, cond_I), w) * I_loss_factor
+        g_i1 = g_hinge_loss(disc_i_apply(dpi, cd(mo_i1), t_orig, m, cd(cond_i1)), w) * i_loss_factor
+        g_i2 = g_hinge_loss(disc_i_apply(dpi, cd(mo_i2), t_orig, m, cd(cond_i2)), w) * i_loss_factor
+        g_I = g_hinge_loss(disc_I_apply(dpI, cd(model_output), t_orig, m, cd(cond_I)), w) * I_loss_factor
         del disc_train
         losses.update(generator_i1=g_i1, generator_i2=g_i2, generator_I=g_I)
 
@@ -325,8 +337,8 @@ def mixer_training_losses(
                     return None
                 return {"dropout": jax.random.fold_in(dropout_rng, idx * 2 + k)}
 
-            real = d_hinge_loss(apply(p, real_x, t_orig, m, c, train=disc_train, rngs=r(0)), 1.0, w)
-            fake = d_hinge_loss(apply(p, fake_x, t_orig, m, c, train=disc_train, rngs=r(1)), -1.0, w)
+            real = d_hinge_loss(apply(p, cd(real_x), t_orig, m, cd(c), train=disc_train, rngs=r(0)), 1.0, w)
+            fake = d_hinge_loss(apply(p, cd(fake_x), t_orig, m, cd(c), train=disc_train, rngs=r(1)), -1.0, w)
             return (real + fake) / 2
 
         d_i1 = d_pair(disc_i_apply, params["disc_i"], io_i1, mo_i1, cond_i1, 1) * i_loss_factor

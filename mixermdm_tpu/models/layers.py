@@ -128,6 +128,18 @@ def remat_scan_enabled() -> bool:
     return _REMAT_SCAN
 
 
+def set_remat_scan(enabled: bool) -> None:
+    """Toggle scan-body rematerialisation for DIFFERENTIATED stacks.
+
+    Remat trades recompute FLOPs for saved-activation HBM.  The mixer
+    training graph's differentiated nets (mixer core + influence,
+    discriminators, text post-encoders) are small enough that their saved
+    activations fit at production batch sizes — trainers A/B this via
+    ``scripts/bench_train.py --no-remat`` (measurements in BASELINE.md)."""
+    global _REMAT_SCAN
+    _REMAT_SCAN = enabled
+
+
 class fused_scope:
     """Trace-time re-enable of the fused (VJP-less) kernels inside a
     FROZEN subgraph of a training trace.

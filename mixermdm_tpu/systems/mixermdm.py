@@ -249,6 +249,10 @@ class MixerMDMSystem:
         # so it ships opt-in (see BASELINE.md round-3 training A/B).
         self.quant_frozen = bool(self.cfg.get("QUANT_FROZEN", False))
         self.quant_train = bool(self.cfg.get("QUANT_TRAIN", False))
+        # Discriminator compute dtype in the adversarial losses (mirrors the
+        # reference's 16-mixed harness).  Follows compute_dtype; overridable
+        # for A/Bs (scripts/bench_train.py --f32-disc).
+        self.disc_compute_dtype = self.compute_dtype
         self._mixer_forward = make_mixer_forward(
             self.mixer_cfg,
             # quant rides the SAMPLING whole-trace scope (_sample_impl), so
@@ -428,6 +432,9 @@ class MixerMDMSystem:
             cond_slices=self.mixer_cfg.cond_slices(),
             nfeats=self.nfeats,
             dropout_rng=rng_drop,
+            # bf16 discriminator compute on TPU (the reference trains under
+            # Lightning 16-mixed, so its disc matmuls autocast to half too).
+            compute_dtype=self.disc_compute_dtype,
         )
 
     # ----------------------------------------------------------------- sample

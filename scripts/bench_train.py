@@ -32,6 +32,12 @@ def main(argv=None):
     p.add_argument("--quant-train", action="store_true",
                    help="W8A8 the frozen denoiser forwards inside the "
                         "training loss (QUANT_TRAIN)")
+    p.add_argument("--no-remat", action="store_true",
+                   help="disable scan-body remat for the differentiated "
+                        "stacks (trade HBM for recompute)")
+    p.add_argument("--f32-disc", action="store_true",
+                   help="keep discriminator compute f32 (default: bf16 on "
+                        "TPU, like the reference's 16-mixed)")
     args = p.parse_args(argv)
 
     import jax
@@ -51,6 +57,12 @@ def main(argv=None):
     system = build_system(tiny=args.tiny)
     if args.quant_train:
         system.quant_train = True
+    if args.f32_disc:
+        system.disc_compute_dtype = None
+    if args.no_remat:
+        from mixermdm_tpu.models.layers import set_remat_scan
+
+        set_remat_scan(False)
     params = system.init_params(jax.random.PRNGKey(0))
     trainer = MixerTrainer(system, grad_acc_steps=2, discriminator_steps=1,
                            donate=True,
@@ -108,6 +120,8 @@ def main(argv=None):
                                donate=True)
 
     qt = ", quant-train" if args.quant_train else ""
+    qt += ", no-remat" if args.no_remat else ""
+    qt += ", f32-disc" if args.f32_disc else ""
     best = time_steps(f"{TR.TRAIN_ATTENTION} attention path{qt}")
     results.update({
         "metric": f"mixermdm fused G+D training step (B={B}, T={T}, "

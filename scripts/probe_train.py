@@ -10,6 +10,10 @@ Modes:
   donly         discriminator step only
   nodenoisers   frozen in2IN denoiser forwards DCE'd (mixer stays live)
   nonets        entire mixer forward DCE'd (denoisers + mixer + influence)
+  noinfluence   influence/mixer core DCE'd (denoisers + discs stay live)
+  notext        encode_cond DCE'd (both steps' text pipelines)
+  nodiscs       discriminator applies DCE'd (fwd+bwd of all 3 heads)
+  nocenter      center_person -> identity in the loss graph
 
 Usage: python scripts/probe_train.py [mode]
 """
@@ -71,6 +75,35 @@ def main():
             return wrapper
 
         SM.make_mixer_forward = patched
+    elif which == "notext":
+        # Constant cond: DCEs the CLIP towers + all post-encoder heads in
+        # BOTH the G and D steps (the G step's text-head grads become zero
+        # but the optimizer structure is unchanged).
+        _enc = SM.MixerMDMSystem.encode_cond
+
+        def patched_enc(self, params, *tok):
+            return jnp.full_like(_enc(self, params, *tok), 0.1)
+
+        SM.MixerMDMSystem.encode_cond = patched_enc
+    elif which == "nodiscs":
+        # Trivial discriminator: logits = x[..., :1], so the 9 disc applies
+        # (3 G-side fwd+input-bwd, 6 D-side fwd+param-bwd) DCE away while the
+        # generator graph stays live (G grads still flow through the logits).
+        import flax.linen as nn
+
+        from mixermdm_tpu.models.discriminator import DiscriminatorTransformer
+
+        @nn.compact
+        def trivial(self, x, timesteps, mask=None, cond=None, train=False):
+            # A dummy param keeps init's ["params"] collection non-empty.
+            b = self.param("dummy", lambda k: jnp.zeros((1,), jnp.float32))
+            return x[..., :1].astype(jnp.float32) + b * 0.0
+
+        DiscriminatorTransformer.__call__ = trivial
+    elif which == "nocenter":
+        import mixermdm_tpu.diffusion.mixer_diffusion as MD
+
+        MD.center_person = lambda x, align: x
 
     from bench import build_system
     from mixermdm_tpu.train.trainer import MixerTrainer

@@ -177,6 +177,91 @@ class TestMixerTrainerAlternation:
         assert l1_diff(s1.params["core"], s2.params["core"]) == 0
 
 
+class TestTrainPrecisionKnobs:
+    """bf16 discriminator compute + the differentiated-stack remat toggle."""
+
+    def _setup(self):
+        import sys as _s, os
+
+        _s.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from __graft_entry__ import _tiny_system
+
+        system = _tiny_system()
+        params = system.init_params(jax.random.PRNGKey(0))
+        params = jax.tree_util.tree_map(
+            lambda x: x + 0.01 * jax.random.normal(jax.random.PRNGKey(7), x.shape), params
+        )
+        B, T = 2, 12
+        ctx = system.text.clip_cfg.context_length
+        tok = jnp.zeros((B, ctx), jnp.int32).at[:, 0].set(49406).at[:, 1].set(49407)
+        batch = {
+            "motions": jax.random.normal(jax.random.PRNGKey(1), (B, T, 524)) * 0.1,
+            "motion_lens": jnp.asarray([T - 2, T - 4]),
+            "tokens_inter": tok, "tokens_i1": tok, "tokens_i2": tok,
+        }
+        return system, params, batch
+
+    def test_bf16_disc_matches_f32_loosely(self):
+        """disc_compute_dtype=bf16 (the TPU default; reference trains under
+        16-mixed) shifts losses only by rounding, and both sides still
+        train."""
+        system, params, batch = self._setup()
+
+        def run(dtype):
+            system.disc_compute_dtype = dtype
+            system._jit_loss = {}  # drop traces cached with the old dtype
+            trainer = MixerTrainer(system, lr=1e-3, grad_acc_steps=1)
+            state = trainer.init_state(params)
+            s1, g, d = trainer.fit_step(state, batch, jax.random.PRNGKey(2), 0)
+            return s1, float(g["total"]), float(d["total"])
+
+        try:
+            _, g32, d32 = run(None)
+            s1, g16, d16 = run(jnp.bfloat16)
+        finally:
+            system.disc_compute_dtype = None
+        assert np.isfinite(g16) and np.isfinite(d16)
+        assert abs(g16 - g32) <= 0.05 * max(1.0, abs(g32))
+        assert abs(d16 - d32) <= 0.05 * max(1.0, abs(d32))
+        # G gradients flow through the bf16 disc back into the mixer core.
+        diff = sum(
+            float(jnp.abs(a - b).sum())
+            for a, b in zip(
+                jax.tree_util.tree_leaves(s1.params["core"]),
+                jax.tree_util.tree_leaves(params["core"]),
+            )
+        )
+        assert diff > 0
+
+    def test_remat_toggle_grads_match(self):
+        """set_remat_scan(False) changes scheduling, not math: same losses
+        and same updates."""
+        from mixermdm_tpu.models.layers import remat_scan_enabled, set_remat_scan
+
+        system, params, batch = self._setup()
+
+        def run():
+            trainer = MixerTrainer(system, lr=1e-3, grad_acc_steps=1)
+            state = trainer.init_state(params)
+            s1, g, d = trainer.fit_step(state, batch, jax.random.PRNGKey(2), 0)
+            return s1, float(g["total"]), float(d["total"])
+
+        assert remat_scan_enabled()
+        s_on, g_on, d_on = run()
+        set_remat_scan(False)
+        try:
+            s_off, g_off, d_off = run()
+        finally:
+            set_remat_scan(True)
+        assert np.isclose(g_on, g_off, rtol=1e-5)
+        assert np.isclose(d_on, d_off, rtol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s_on.params["core"]),
+            jax.tree_util.tree_leaves(s_off.params["core"]),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 class TestFinetune:
     def test_sa_block_mask(self):
         from mixermdm_tpu.train.finetune import sa_block_freeze_mask
