@@ -123,7 +123,7 @@ def estimate_chain_flops(system, B: int, T: int) -> float:
 
 def main(tiny: bool = False, repeats: int = 3, quant: bool | None = None,
          steps: int | None = None, quant_min_dim: int | None = None,
-         batch: int | None = None):
+         batch: int | None = None, sampler: str | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -139,6 +139,10 @@ def main(tiny: bool = False, repeats: int = 3, quant: bool | None = None,
         set_w8a8_min_dim(quant_min_dim)
 
     system = build_system(tiny, quant=quant, steps=steps)
+    if sampler:
+        from mixermdm_tpu.systems import apply_sampler_overrides
+
+        apply_sampler_overrides(system, sampler)
     params = system.init_params(jax.random.PRNGKey(0))
 
     b = batch or (2 if tiny else B)
@@ -164,7 +168,8 @@ def main(tiny: bool = False, repeats: int = 3, quant: bool | None = None,
     samples_per_sec = b / best
     n_steps = system.sample_schedule.num_timesteps
     result = {
-        "metric": f"mixermdm two-person ddim{n_steps} generation (B={b}, T={t})",
+        "metric": f"mixermdm two-person {system.sampler_type}{n_steps} "
+                  f"generation (B={b}, T={t})",
         "value": round(samples_per_sec, 4),
         "unit": "samples/sec",
         "vs_baseline": round(samples_per_sec / REFERENCE_SAMPLES_PER_SEC, 4),
@@ -215,5 +220,10 @@ if __name__ == "__main__":
         # CLI's B=10): bigger generation batches fill the kernels' grids
         # further — see the BASELINE.md throughput-vs-batch row.
         batch = int(sys.argv[sys.argv.index("--batch") + 1])
+    sampler = None
+    if "--sampler" in sys.argv:
+        # "dpmpp" = DPM-Solver++(2M); pair with --steps 25 for the
+        # half-the-model-calls serving row (the driver metric stays ddim50).
+        sampler = sys.argv[sys.argv.index("--sampler") + 1]
     main(tiny="--tiny" in sys.argv, quant=quant, steps=steps,
-         quant_min_dim=qmd, batch=batch)
+         quant_min_dim=qmd, batch=batch, sampler=sampler)

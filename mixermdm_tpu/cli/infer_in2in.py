@@ -37,6 +37,12 @@ def main(argv=None):
                         help="raw motion .npy to q-sample as the chain start "
                              "(reference init_image)")
     parser.add_argument("--skip-timesteps", type=int, default=0)
+    parser.add_argument("--sampler", type=str, default=None,
+                        choices=("ddim", "dpmpp"),
+                        help="sampling update rule (dpmpp = DPM-Solver++"
+                             "(2M), ~DDIM-50 quality at half the steps)")
+    parser.add_argument("--sample-steps", type=int, default=None,
+                        help="respace the sampling chain to N model calls")
     parser.add_argument("--pp", type=int, default=1,
                         help="pipeline-parallel degree: the denoiser layer "
                              "stacks run as a GPipe pipeline over a 'pipe' "
@@ -67,6 +73,9 @@ def main(argv=None):
         cfg = Config.wrap(cfg)
 
     system = In2INSystem(cfg, mode=args.mode, clip_cfg=clip_cfg)
+    from ..systems import apply_sampler_overrides
+
+    apply_sampler_overrides(system, args.sampler, args.sample_steps)
     rng = jax.random.PRNGKey(args.seed)
     rng, init_rng = jax.random.split(rng)
     params = system.init_params(init_rng)

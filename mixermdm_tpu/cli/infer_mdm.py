@@ -22,6 +22,12 @@ def main(argv=None):
     parser.add_argument("--checkpoint", type=str, default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--tiny", action="store_true")
+    parser.add_argument("--sampler", type=str, default=None,
+                        choices=("ddim", "dpmpp"),
+                        help="sampling update rule (dpmpp = DPM-Solver++"
+                             "(2M), ~DDIM-50 quality at half the steps)")
+    parser.add_argument("--sample-steps", type=int, default=None,
+                        help="respace the sampling chain to N model calls")
     args = parser.parse_args(argv)
 
     import jax
@@ -41,6 +47,9 @@ def main(argv=None):
         clip_cfg = ClipTextConfig.vit_b_32()
 
     system = MDMSystem(cfg, clip_cfg=clip_cfg)
+    from ..systems import apply_sampler_overrides
+
+    apply_sampler_overrides(system, args.sampler, args.sample_steps)
     rng = jax.random.PRNGKey(args.seed)
     rng, init_rng = jax.random.split(rng)
     params = system.init_params(init_rng)

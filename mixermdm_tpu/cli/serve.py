@@ -155,6 +155,14 @@ def main(argv=None):
                         help="hold an idle batch open this long for more "
                              "requests to coalesce (continuous batching of "
                              "burst traffic); 0 dispatches immediately")
+    parser.add_argument("--sampler", type=str, default=None,
+                        choices=("ddim", "dpmpp"),
+                        help="sampling update rule (dpmpp = DPM-Solver++"
+                             "(2M): ~DDIM-50 quality at half the steps — "
+                             "pair with --sample-steps 25 to halve request "
+                             "latency)")
+    parser.add_argument("--sample-steps", type=int, default=None,
+                        help="respace the sampling chain to N model calls")
     args = parser.parse_args(argv)
 
     import jax
@@ -174,6 +182,9 @@ def main(argv=None):
         args.window = min(args.window, 16)
 
     system = build_system(args.model, tiny=args.tiny)
+    from ..systems import apply_sampler_overrides
+
+    apply_sampler_overrides(system, args.sampler, args.sample_steps)
     rng = jax.random.PRNGKey(args.seed)
     rng, init_rng = jax.random.split(rng)
     params = system.init_params(init_rng)

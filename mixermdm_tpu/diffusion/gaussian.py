@@ -278,6 +278,113 @@ def ddim_sample_loop(
     return preds[-1]
 
 
+def dpmpp_coefficients(s: DiffusionSchedule, n_eff: int | None = None):
+    """Host-side DPM-Solver++(2M) coefficient tables for a (respaced) chain.
+
+    Returns ``(sig_ratio, alp_next, phi, c2)``, each of length ``n_eff``
+    (default ``s.num_timesteps``; pass fewer for a warm-started chain that
+    skips the head), indexed by scan position ``j`` (position ``j``
+    visits chain index ``i = n_eff-1-j``; its "next" point is ``i-1``, with
+    the ``i = -1`` boundary being clean data: alpha=1, sigma=0, lambda=+inf).
+    The VP data-prediction update (Lu et al., arXiv:2211.01095) is
+
+        x_next = sig_ratio * x - alp_next * phi * D,
+        D      = (1 + c2) * x0_cur - c2 * x0_prev,
+
+    with ``phi = e^{-h} - 1`` and ``c2 = h_j / (2 h_{j-1})`` (the 2M
+    multistep correction).  The first step has no history and the final
+    step is forced first-order (``c2 = 0`` — "lower-order final", which
+    also keeps the mixer's t==0 raw-space x0 quirk out of the correction).
+    Computed in f64 on host once per trace; no reference equivalent
+    (TPU-native addition — the reference only ships DDPM/DDIM loops).
+    """
+    import numpy as np
+
+    acp = np.asarray(s.alphas_cumprod, np.float64)
+    n = acp.shape[0] if n_eff is None else int(n_eff)
+    alpha = np.sqrt(acp)
+    sigma = np.sqrt(1.0 - acp)
+    lam = 0.5 * (np.log(acp) - np.log1p(-acp))
+    i_cur = np.arange(n - 1, -1, -1)
+    has_next = i_cur > 0
+    i_nxt = np.maximum(i_cur - 1, 0)
+    sig_ratio = np.where(has_next, sigma[i_nxt], 0.0) / sigma[i_cur]
+    alp_next = np.where(has_next, alpha[i_nxt], 1.0)
+    with np.errstate(invalid="ignore"):
+        h = np.where(has_next, lam[i_nxt] - lam[i_cur], np.inf)
+    phi = np.expm1(-h)  # -> -1 at the clean-data boundary
+    c2 = np.zeros(n)
+    if n > 1:
+        with np.errstate(invalid="ignore"):
+            c2[1:] = h[1:] / (2.0 * h[:-1])
+    c2[~np.isfinite(c2)] = 0.0
+    c2[-1] = 0.0
+
+    def f32(a):
+        return jnp.asarray(a, jnp.float32)
+
+    return f32(sig_ratio), f32(alp_next), f32(phi), f32(c2)
+
+
+def dpmpp_sample_loop(
+    model_fn: Callable,
+    s: DiffusionSchedule,
+    shape: tuple,
+    rng: jax.Array,
+    *,
+    noise=None,
+    clip_denoised: bool = False,
+    mean_type: str = MEAN_START_X,
+    var_type: str = VAR_FIXED_SMALL,
+    traj_control=None,
+    skip_timesteps: int = 0,
+    init_image=None,
+    dtype=jnp.float32,
+):
+    """DPM-Solver++(2M) chain as one ``lax.scan`` — x0-prediction form.
+
+    A second-order multistep probability-flow ODE solver over the same
+    respaced schedule as :func:`ddim_sample_loop`: typically matches
+    DDIM-50 quality in ~half the model calls (see
+    ``scripts/sampler_ab.py`` for the distribution-level gate).  Fully
+    deterministic — ``rng`` is consumed only for the initial noise draw.
+    ``skip_timesteps``/``init_image`` warm-start exactly like the DDIM
+    loop (q-sample the init image to the first remaining timestep).
+    No reference equivalent (the reference ships only DDPM/DDIM loops).
+    """
+    rng, init_rng = jax.random.split(rng)
+    img = jax.random.normal(init_rng, shape, dtype) if noise is None else noise
+    B = shape[0]
+    n = s.num_timesteps - int(skip_timesteps)
+    if skip_timesteps and init_image is None:
+        init_image = jnp.zeros(shape, dtype)
+    if init_image is not None:
+        t0 = jnp.full((B,), n - 1, jnp.int32)
+        img = q_sample(s, init_image.astype(dtype), t0, img)
+    sig_ratio, alp_next, phi, c2 = dpmpp_coefficients(s, n)
+
+    def body(carry, xs):
+        img, prev_x0 = carry
+        i, j = xs
+        if traj_control is not None:
+            img = _apply_traj_control(img, traj_control)
+        t = jnp.full((B,), i, dtype=jnp.int32)
+        out = p_mean_variance(
+            model_fn, s, img, t,
+            mean_type=mean_type, var_type=var_type, clip_denoised=clip_denoised,
+        )
+        x0 = out["pred_xstart"]
+        d = (1.0 + c2[j]) * x0 - c2[j] * prev_x0
+        nxt = sig_ratio[j] * img - alp_next[j] * phi[j] * d
+        return (nxt, x0), x0
+
+    ts = jnp.arange(n - 1, -1, -1)
+    (_, _), preds = jax.lax.scan(
+        body, (img, jnp.zeros_like(img)), (ts, jnp.arange(n))
+    )
+    return preds[-1]
+
+
 def p_sample_loop(
     model_fn: Callable,
     s: DiffusionSchedule,

@@ -184,3 +184,22 @@ def named_schedule(
     betas = get_named_beta_schedule(beta_scheduler, diffusion_steps)
     use = None if respacing is None else space_timesteps(diffusion_steps, respacing)
     return make_schedule(betas, use, dtype=dtype)
+
+
+def resolve_sampler_strategy(cfg) -> tuple:
+    """Parse a system config's sampling-loop choice.
+
+    Returns ``(sampler_type, strategy)`` where sampler_type is ``"ddim"``
+    (the reference's only fast path) or ``"dpmpp"`` (DPM-Solver++(2M),
+    TPU-native addition).  ``STRATEGY: dpmppN`` is shorthand for
+    ``SAMPLER_TYPE: dpmpp`` over ddim-strided N timesteps (the respacing
+    grid is shared; only the update rule differs).
+    """
+    strategy = cfg.get("STRATEGY", "ddim50")
+    sampler = str(cfg.get("SAMPLER_TYPE", "ddim")).lower()
+    if isinstance(strategy, str) and strategy.startswith("dpmpp"):
+        sampler = "dpmpp"
+        strategy = "ddim" + strategy[len("dpmpp"):]
+    if sampler not in ("ddim", "dpmpp"):
+        raise ValueError(f"unknown SAMPLER_TYPE {sampler!r}")
+    return sampler, strategy

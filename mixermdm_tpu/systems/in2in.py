@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..config import Config, IN2IN_INTERACTION_DEFAULT
 from ..diffusion import gaussian as G
 from ..diffusion.losses import motion_training_losses
-from ..diffusion.schedule import named_schedule
+from ..diffusion.schedule import named_schedule, resolve_sampler_strategy
 from ..models.cfg import cfg_dual_mdm, cfg_model, cfg_model_multiple
 from ..models.clip_text import ClipTextConfig
 from ..models.in2in import In2INDenoiser
@@ -78,8 +78,9 @@ class In2INSystem:
 
         steps = int(self.cfg.DIFFUSION_STEPS)
         self.train_schedule = named_schedule(self.cfg.BETA_SCHEDULER, steps)
+        self.sampler_type, strategy = resolve_sampler_strategy(self.cfg)
         self.sample_schedule = named_schedule(
-            self.cfg.BETA_SCHEDULER, steps, self.cfg.get("STRATEGY", "ddim50")
+            self.cfg.BETA_SCHEDULER, steps, strategy
         )
 
         if normalizer is not None:
@@ -300,7 +301,9 @@ class In2INSystem:
         def model_fn(x, t_orig):
             return model(x, t_orig, None, cond)
 
-        return G.ddim_sample_loop(
+        loop = (G.dpmpp_sample_loop if self.sampler_type == "dpmpp"
+                else G.ddim_sample_loop)
+        return loop(
             model_fn, self.sample_schedule, shape, rng, clip_denoised=False,
             traj_control=traj_control, skip_timesteps=skip_timesteps,
             init_image=init_image,

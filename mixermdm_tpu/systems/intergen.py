@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from ..config import Config
 from ..diffusion import gaussian as G
 from ..diffusion.losses import motion_training_losses
-from ..diffusion.schedule import named_schedule
+from ..diffusion.schedule import named_schedule, resolve_sampler_strategy
 from ..models.cfg import cfg_model
 from ..models.clip_text import ClipTextConfig
 from ..models.intergen import InterDenoiser
@@ -47,9 +47,8 @@ class InterGenSystem:
         )
         steps = int(cfg.DIFFUSION_STEPS)
         self.train_schedule = named_schedule(cfg.BETA_SCHEDULER, steps)
-        self.sample_schedule = named_schedule(
-            cfg.BETA_SCHEDULER, steps, cfg.get("STRATEGY", "ddim50")
-        )
+        self.sampler_type, strategy = resolve_sampler_strategy(cfg)
+        self.sample_schedule = named_schedule(cfg.BETA_SCHEDULER, steps, strategy)
         self.normalizer = normalizer if normalizer is not None else interhuman_normalizer(data_root)
         import jax as _jax
         self.compute_dtype = (
@@ -146,7 +145,9 @@ class InterGenSystem:
         def model_fn(x, t_orig):
             return model(x, t_orig, None, cond)
 
-        return G.ddim_sample_loop(
+        loop = (G.dpmpp_sample_loop if self.sampler_type == "dpmpp"
+                else G.ddim_sample_loop)
+        return loop(
             model_fn, self.sample_schedule, (B, n_frames, self.nfeats * 2), rng,
             clip_denoised=False,
         )

@@ -26,8 +26,12 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config, MIXERMDM_DEFAULT
-from ..diffusion.mixer_diffusion import ddim_sample_loop_x2, mixer_training_losses
-from ..diffusion.schedule import named_schedule
+from ..diffusion.mixer_diffusion import (
+    ddim_sample_loop_x2,
+    dpmpp_sample_loop_x2,
+    mixer_training_losses,
+)
+from ..diffusion.schedule import named_schedule, resolve_sampler_strategy
 from ..models.cfg import cfg_model_x2
 from ..models.clip_text import ClipTextConfig
 from ..models.discriminator import DiscriminatorTransformer
@@ -206,8 +210,13 @@ class MixerMDMSystem:
 
         steps = int(self.cfg.DIFFUSION_STEPS)
         self.train_schedule = named_schedule(self.cfg.BETA_SCHEDULER, steps)
+        # SAMPLER_TYPE "ddim" (reference behaviour) or "dpmpp" (DPM-Solver++
+        # (2M): ~half the model calls at DDIM-50 quality — TPU-native
+        # addition, gated by scripts/sampler_ab.py).  STRATEGY "dpmppN" is
+        # shorthand for SAMPLER_TYPE dpmpp over ddim-strided N steps.
+        self.sampler_type, strategy = resolve_sampler_strategy(self.cfg)
         self.sample_schedule = named_schedule(
-            self.cfg.BETA_SCHEDULER, steps, self.cfg.get("STRATEGY", "ddim50")
+            self.cfg.BETA_SCHEDULER, steps, strategy
         )
         # SAMPLER config → timestep draw (reference mixermdm.py:128-129,450;
         # the reference never calls update_with_local_losses from any training
@@ -515,7 +524,9 @@ class MixerMDMSystem:
 
         model = cfg_model_x2(mixer_eval, self.cfg_weight, with_influence=collect_influence)
 
-        return ddim_sample_loop_x2(
+        loop = (dpmpp_sample_loop_x2 if self.sampler_type == "dpmpp"
+                else ddim_sample_loop_x2)
+        return loop(
             model, self.sample_schedule, (B, n_frames, self.nfeats * 2), rng, cond,
             normalizer1=self.normalizer1, normalizer2=self.normalizer2,
             align=self.align, nfeats=self.nfeats, collect_influence=collect_influence,

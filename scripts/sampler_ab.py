@@ -1,0 +1,185 @@
+"""Distribution-level sampler acceptance A/B: DDIM-50 vs DPM-Solver++(2M).
+
+The DPM++ loops (``diffusion/gaussian.dpmpp_sample_loop``,
+``mixer_diffusion.dpmpp_sample_loop_x2``) claim DDIM-50-level quality at
+~half the model calls.  The ODE-error convergence tests
+(``tests/test_dpmpp.py``) prove the ORDER claim on smooth proxies; this
+script is the distribution-level gate on an actually-trained mixer — same
+recipe as ``scripts/quant_ab.py`` (released checkpoints are unfetchable in
+this environment, so deltas between arms on a tiny-trained model are the
+signal, not the absolute values):
+
+1. train a small-but-production-shaped mixer (128-d) on the synthetic
+   InterHuman fixture,
+2. generate the tiny eval protocol's sample set under four sampling arms —
+   **ddim50** (the reference protocol), **ddim25**, **dpmpp25**, **dpmpp15**
+   — identical seeds and one fixed random-init InterCLIP featurizer,
+3. print the metric table + deltas vs ddim50 and write ``sampler_ab.json``.
+
+Decision rule (recorded in BASELINE.md): dpmpp-25 is accepted as the fast
+serving configuration when its FID delta vs ddim-50 is no worse than
+ddim-25's (i.e. the 2nd-order solver at half the steps is at least as close
+to the reference protocol as the 1st-order solver at half the steps).
+
+Run:  python scripts/sampler_ab.py [--train-steps 200] [--out sampler_ab.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+LATENT = 128
+T_WINDOW = 32
+
+
+def make_system():
+    from mixermdm_tpu.config import Config, tiny_config
+    from mixermdm_tpu.models.clip_text import ClipTextConfig
+    from mixermdm_tpu.systems import In2INSystem, MixerMDMSystem
+
+    clip_cfg = ClipTextConfig.tiny()
+    c = tiny_config(latent=LATENT, layers=2, heads=2, diffusion_steps=1000)
+    c["STRATEGY"] = "ddim50"
+    m1 = In2INSystem(c, mode="individual", clip_cfg=clip_cfg)
+    m2 = In2INSystem(c, mode="interaction", clip_cfg=clip_cfg)
+    mcfg = Config.wrap(
+        {
+            "NAME": "MixerMDM",
+            "GENERATOR": {"NUM_LAYERS": 2, "NUM_HEADS": 2, "DROPOUT": 0.0,
+                          "INPUT_DIM": 262, "LATENT_DIM": LATENT,
+                          "FF_SIZE": 2 * LATENT},
+            "DISCRIMINATOR": {"NUM_LAYERS": 1, "NUM_HEADS": 2, "DROPOUT": 0.0,
+                              "INPUT_DIM": 262, "LATENT_DIM": 64, "FF_SIZE": 128},
+            "ACTIVATION": "gelu", "DIFFUSION_STEPS": 1000,
+            "BETA_SCHEDULER": "cosine", "SAMPLER": "uniform",
+            "MOTION_REP": "global", "T_BAR": 500, "STRATEGY": "ddim50",
+            "CFG_WEIGHT": 3.5, "MIXING_MODE": 4, "FORCE_INFLUENCE_VAL": None,
+            "QUANT_FROZEN": False,
+        }
+    )
+    return MixerMDMSystem(mcfg, model1=m1, model2=m2, clip_cfg=clip_cfg,
+                          compute_dtype="bf16")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--train-steps", type=int, default=200)
+    parser.add_argument("--num-samples", type=int, default=16)
+    parser.add_argument("--batch-size", type=int, default=4)
+    parser.add_argument("--out", type=str, default="sampler_ab.json")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from mixermdm_tpu.config import Config
+    from mixermdm_tpu.data import DataLoader, InterHumanDataset, make_interhuman_fixture
+    from mixermdm_tpu.eval import EvalProtocol, EvaluatorWrapper
+    from mixermdm_tpu.eval.driver import run_side
+    from mixermdm_tpu.eval.interclip import InterCLIP
+    from mixermdm_tpu.models.torch_compat import TorchEncoder
+    from mixermdm_tpu.systems import apply_sampler_overrides
+    from mixermdm_tpu.train.trainer import MixerTrainer
+    from mixermdm_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    root = "/tmp/sampler_ab_synth"
+    make_interhuman_fixture(root, n_clips=max(8, args.num_samples),
+                            n_frames=40, test_all=True)
+
+    train_sys = make_system()
+    params0 = train_sys.init_params(jax.random.PRNGKey(args.seed))
+    dataset = InterHumanDataset(root, mode="train", max_gt_length=T_WINDOW)
+    loader = DataLoader(dataset, batch_size=4, seed=args.seed)
+    trainer = MixerTrainer(train_sys, grad_acc_steps=1, discriminator_steps=1)
+    state = trainer.init_state(params0)
+    print(f"training small mixer ({LATENT}-d) for {args.train_steps} steps ...")
+    step = 0
+    rng = jax.random.PRNGKey(args.seed + 7)
+    while step < args.train_steps:
+        for batch in loader:
+            toks = train_sys.tokenize_batch(batch)
+            dev_batch = {
+                "motions": np.asarray(batch["motions"], np.float32),
+                "motion_lens": np.asarray(batch["motion_lens"]),
+                "tokens_inter": np.asarray(toks["tokens_inter"]),
+                "tokens_i1": np.asarray(toks["tokens_i1"]),
+                "tokens_i2": np.asarray(toks["tokens_i2"]),
+            }
+            state, g_losses, _ = trainer.fit_step(
+                state, dev_batch, jax.random.fold_in(rng, step), step
+            )
+            step += 1
+            if step % 50 == 0:
+                print(f"  step {step}: g_total={float(g_losses['total']):.4f}")
+            if step >= args.train_steps:
+                break
+    params = jax.device_get(state.params)
+
+    gt = InterHumanDataset(root, mode="test", max_gt_length=T_WINDOW)
+    icfg = Config.wrap(
+        {"INPUT_DIM": 258, "LATENT_DIM": 64, "FF_SIZE": 128, "NUM_LAYERS": 1,
+         "NUM_HEADS": 2, "DROPOUT": 0.0, "MODE": "interaction"}
+    )
+    evaluator = InterCLIP(icfg, text_width=64)
+    evaluator.text_encoder = TorchEncoder(64, 2, 64, 1)
+    eval_params = evaluator.init_params(jax.random.PRNGKey(123))
+    wrapper = EvaluatorWrapper(evaluator, eval_params)
+    protocol = EvalProtocol()
+
+    arms = {
+        "ddim50": ("ddim", 50),
+        "ddim25": ("ddim", 25),
+        "dpmpp25": ("dpmpp", 25),
+        "dpmpp15": ("dpmpp", 15),
+    }
+    results = {}
+    for name, (sampler, steps) in arms.items():
+        print(f"=== arm {name} ===")
+        system = make_system()
+        apply_sampler_overrides(system, sampler, steps)
+        metrics = run_side(
+            system, params, gt, wrapper, protocol,
+            individual=False, num_samples=args.num_samples,
+            batch_size=args.batch_size, max_frames=T_WINDOW,
+            replications=1, seed=args.seed, mm_num_samples=0,
+            model_name=name,
+        )
+        results[name] = {
+            "FID": float(np.mean(metrics["FID"][name])),
+            "MM Distance": float(np.mean(metrics["MM Distance"][name])),
+            "R_precision_top1": float(np.mean(metrics["R_precision_top1"][name])),
+            "Diversity": float(np.mean(metrics["Diversity"][name])),
+        }
+
+    table = {"arms": results, "deltas_vs_ddim50": {}}
+    for name in results:
+        if name == "ddim50":
+            continue
+        table["deltas_vs_ddim50"][name] = {
+            k: round(results[name][k] - results["ddim50"][k], 6)
+            for k in results["ddim50"]
+        }
+    d_ddim25 = abs(table["deltas_vs_ddim50"]["ddim25"]["FID"])
+    d_dpmpp25 = abs(table["deltas_vs_ddim50"]["dpmpp25"]["FID"])
+    table["gate"] = {
+        "fid_delta_ddim25": d_ddim25,
+        "fid_delta_dpmpp25": d_dpmpp25,
+        "dpmpp25_no_worse_than_ddim25": bool(d_dpmpp25 <= d_ddim25 + 1e-9),
+    }
+    print(json.dumps(table, indent=2))
+    with open(args.out, "w") as f:
+        json.dump(table, f, indent=2)
+    print(f"wrote {args.out}")
+    return table
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,25 @@ class TestCLISmoke:
         assert motion.shape == (2, 16, 524)
         assert np.isfinite(motion).all()
 
+    def test_infer_mixermdm_dpmpp_sampler(self, tmp_path):
+        """--sampler dpmpp --sample-steps N end-to-end (the fast-serving
+        configuration; DPM-Solver++(2M) is a TPU-native addition)."""
+        import numpy as np
+
+        from mixermdm_tpu.cli.infer_mixermdm import main
+
+        out = str(tmp_path / "infer_dpmpp")
+        main([
+            "--tiny", "--name", "fast", "--out-dir", out, "--num-samples", "2",
+            "--text-interaction", "two people hug",
+            "--text-individual1", "a person hugs",
+            "--text-individual2", "a person hugs back",
+            "--sampler", "dpmpp", "--sample-steps", "2",
+        ])
+        motion = np.load(os.path.join(out, "fast_motion.npy"))
+        assert motion.shape == (2, 16, 524)
+        assert np.isfinite(motion).all()
+
     def test_infer_in2in_warm_start(self, tmp_path):
         import numpy as np
 
