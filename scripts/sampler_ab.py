@@ -73,6 +73,10 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=4)
     parser.add_argument("--out", type=str, default="sampler_ab.json")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--seeds", type=int, default=1,
+                        help="generation-seed replications per arm; >1 also "
+                             "reports ddim50's cross-seed FID spread as the "
+                             "noise band the deltas are judged against")
     args = parser.parse_args(argv)
 
     import jax
@@ -140,32 +144,42 @@ def main(argv=None):
         "dpmpp25": ("dpmpp", 25),
         "dpmpp15": ("dpmpp", 15),
     }
-    results = {}
+    # Per-arm metrics at each generation seed.  One trained model is the
+    # fixed target distribution; the generation RNG (+ the evaluator's
+    # sampling) is the only noise source, so ddim50's own FID spread across
+    # seeds IS the measurement-noise band any solver delta must be judged
+    # against.
+    keys = ("FID", "MM Distance", "R_precision_top1", "Diversity")
+    per_seed = {name: {k: [] for k in keys} for name in arms}
+    seed_list = [args.seed + 1000 * i for i in range(args.seeds)]
     for name, (sampler, steps) in arms.items():
-        print(f"=== arm {name} ===")
         system = make_system()
         apply_sampler_overrides(system, sampler, steps)
-        metrics = run_side(
-            system, params, gt, wrapper, protocol,
-            individual=False, num_samples=args.num_samples,
-            batch_size=args.batch_size, max_frames=T_WINDOW,
-            replications=1, seed=args.seed, mm_num_samples=0,
-            model_name=name,
-        )
-        results[name] = {
-            "FID": float(np.mean(metrics["FID"][name])),
-            "MM Distance": float(np.mean(metrics["MM Distance"][name])),
-            "R_precision_top1": float(np.mean(metrics["R_precision_top1"][name])),
-            "Diversity": float(np.mean(metrics["Diversity"][name])),
-        }
+        for s in seed_list:
+            print(f"=== arm {name} seed {s} ===")
+            metrics = run_side(
+                system, params, gt, wrapper, protocol,
+                individual=False, num_samples=args.num_samples,
+                batch_size=args.batch_size, max_frames=T_WINDOW,
+                replications=1, seed=s, mm_num_samples=0,
+                model_name=name,
+            )
+            for k in keys:
+                per_seed[name][k].append(float(np.mean(metrics[k][name])))
 
-    table = {"arms": results, "deltas_vs_ddim50": {}}
+    results = {
+        name: {k: float(np.mean(v[k])) for k in keys} | (
+            {f"{k}_spread": float(np.ptp(v[k])) for k in keys}
+            if args.seeds > 1 else {}
+        )
+        for name, v in per_seed.items()
+    }
+    table = {"seeds": seed_list, "arms": results, "deltas_vs_ddim50": {}}
     for name in results:
         if name == "ddim50":
             continue
         table["deltas_vs_ddim50"][name] = {
-            k: round(results[name][k] - results["ddim50"][k], 6)
-            for k in results["ddim50"]
+            k: round(results[name][k] - results["ddim50"][k], 6) for k in keys
         }
     d_ddim25 = abs(table["deltas_vs_ddim50"]["ddim25"]["FID"])
     d_dpmpp25 = abs(table["deltas_vs_ddim50"]["dpmpp25"]["FID"])
@@ -174,6 +188,12 @@ def main(argv=None):
         "fid_delta_dpmpp25": d_dpmpp25,
         "dpmpp25_no_worse_than_ddim25": bool(d_dpmpp25 <= d_ddim25 + 1e-9),
     }
+    if args.seeds > 1:
+        # The primary multi-seed gate: the solver swap is accepted when its
+        # mean-FID shift is inside ddim50's own cross-seed FID spread.
+        noise = float(np.ptp(per_seed["ddim50"]["FID"]))
+        table["gate"]["fid_seed_noise_ddim50"] = noise
+        table["gate"]["dpmpp25_within_seed_noise"] = bool(d_dpmpp25 <= noise + 1e-9)
     print(json.dumps(table, indent=2))
     with open(args.out, "w") as f:
         json.dump(table, f, indent=2)
