@@ -206,6 +206,8 @@ if __name__ == "__main__":
     steps = None
     if "--steps" in sys.argv:
         steps = int(sys.argv[sys.argv.index("--steps") + 1])
+    if "--sample-steps" in sys.argv:  # alias matching the infer/serve CLIs
+        steps = int(sys.argv[sys.argv.index("--sample-steps") + 1])
     quant = None  # config default (ON)
     if "--quant" in sys.argv:
         quant = True
