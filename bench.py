@@ -204,6 +204,10 @@ if __name__ == "__main__":
     import sys
 
     steps = None
+    if "--steps" in sys.argv and "--sample-steps" in sys.argv:
+        print("error: --steps and --sample-steps are aliases; pass only one",
+              file=sys.stderr)
+        raise SystemExit(2)
     if "--steps" in sys.argv:
         steps = int(sys.argv[sys.argv.index("--steps") + 1])
     if "--sample-steps" in sys.argv:  # alias matching the infer/serve CLIs

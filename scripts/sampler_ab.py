@@ -16,10 +16,15 @@ signal, not the absolute values):
    — identical seeds and one fixed random-init InterCLIP featurizer,
 3. print the metric table + deltas vs ddim50 and write ``sampler_ab.json``.
 
-Decision rule (recorded in BASELINE.md): dpmpp-25 is accepted as the fast
-serving configuration when its FID delta vs ddim-50 is no worse than
-ddim-25's (i.e. the 2nd-order solver at half the steps is at least as close
-to the reference protocol as the 1st-order solver at half the steps).
+Decision rule (recorded in BASELINE.md).  The PRIMARY gate (``--seeds``>1,
+``gate["dpmpp25_within_seed_noise"]``) accepts dpmpp-25 when its mean-FID
+shift vs ddim-50 sits inside ddim-50's own cross-seed FID standard
+deviation — i.e. the solver swap is indistinguishable from generation-seed
+noise.  The single-seed FALLBACK gate (``dpmpp25_no_worse_than_ddim25``)
+accepts it when its FID delta is no worse than ddim-25's (the 2nd-order
+solver at half the steps is at least as close to the reference protocol as
+the 1st-order solver at half the steps).  When both are reported, the
+multi-seed gate decides.
 
 Run:  python scripts/sampler_ab.py [--train-steps 200] [--out sampler_ab.json]
 """
@@ -190,9 +195,14 @@ def main(argv=None):
     }
     if args.seeds > 1:
         # The primary multi-seed gate: the solver swap is accepted when its
-        # mean-FID shift is inside ddim50's own cross-seed FID spread.
-        noise = float(np.ptp(per_seed["ddim50"]["FID"]))
-        table["gate"]["fid_seed_noise_ddim50"] = noise
+        # mean-FID shift is inside ddim50's own cross-seed FID standard
+        # deviation — the right scale for a shift of per-seed means (a raw
+        # range/ptp at N=3 is both noisier and systematically wider; it is
+        # still recorded for comparability with the round-3 artifact).
+        fids = np.asarray(per_seed["ddim50"]["FID"])
+        noise = float(np.std(fids))
+        table["gate"]["fid_seed_noise_ddim50_std"] = noise
+        table["gate"]["fid_seed_noise_ddim50_ptp"] = float(np.ptp(fids))
         table["gate"]["dpmpp25_within_seed_noise"] = bool(d_dpmpp25 <= noise + 1e-9)
     print(json.dumps(table, indent=2))
     with open(args.out, "w") as f:

@@ -49,20 +49,29 @@ def isolated(fn):
         # self-registers at startup when this is set; conftest would win
         # anyway via jax.config, but registration alone opens the tunnel).
         env.pop("PALLAS_AXON_POOL_IPS", None)
-        for attempt in range(2):
+        # HERMETIC persistent-cache namespace: each isolated test owns a
+        # private cache dir (keyed by nodeid, persistent across suite runs
+        # so child compiles stay warm).  Children must never share the
+        # parent pytest process's .jax_cache/cpu — two CPU-JAX processes
+        # touching one cache dir has produced corrupted entries that
+        # SIGABRT the reader during deserialization (ROUND3.md).
+        slug = qual.replace(":", "_").replace("/", "_")
+        env["MIXERMDM_JAX_CACHE"] = os.path.join(
+            _REPO_ROOT, ".jax_cache", "isolated", slug)
+        for _attempt in range(3):
             proc = subprocess.run(
                 [sys.executable, "-m", "pytest", "-x", "-q",
                  "-p", "no:cacheprovider", nodeid],
                 cwd=_REPO_ROOT, env=env, capture_output=True, text=True,
                 timeout=1800,
             )
-            if proc.returncode >= 0 or attempt:
+            if proc.returncode >= 0:
                 break
             # A negative code is a signal death — the known intermittent
             # XLA:CPU in-process rendezvous abort (likelier on cold
-            # compiles), not a test assertion; one retry with the now-warm
-            # compilation cache is reliable.  Real failures exit positive
-            # and are never retried.
+            # compiles), not a test assertion; retry (up to twice) with the
+            # now-warm private compilation cache.  Real failures exit
+            # positive and are never retried.
         assert proc.returncode == 0, (
             f"isolated test {nodeid} failed (rc={proc.returncode})\n"
             f"--- stdout ---\n{proc.stdout}\n--- stderr ---\n{proc.stderr}"
