@@ -17,6 +17,7 @@ COMMANDS = {
     "eval-mixermdm": ("mixermdm_tpu.cli.eval_mixermdm", "evaluation protocol"),
     "eval-base": ("mixermdm_tpu.cli.eval_base", "base-model evaluation (in2IN/DualMDM/MDM)"),
     "serve": ("mixermdm_tpu.cli.serve", "warm-compiled HTTP generation server"),
+    "convert": ("mixermdm_tpu.cli.convert", "torch .ckpt -> orbax checkpoint"),
 }
 
 

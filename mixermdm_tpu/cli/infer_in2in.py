@@ -13,6 +13,36 @@ import os
 import numpy as np
 
 
+def build_system(model_cfg_path: str | None = None, mode: str = "interaction",
+                 tiny: bool = False, w_func: str = "const", w_value: float = 0.5):
+    from ..config import (
+        IN2IN_INDIVIDUAL_DEFAULT,
+        IN2IN_INTERACTION_DEFAULT,
+        get_config,
+        tiny_config,
+    )
+    from ..models.clip_text import ClipTextConfig
+    from ..systems import In2INSystem
+
+    if tiny:
+        cfg = tiny_config()
+        clip_cfg = ClipTextConfig.tiny()
+    else:
+        default = (
+            IN2IN_INDIVIDUAL_DEFAULT if mode == "individual" else IN2IN_INTERACTION_DEFAULT
+        )
+        cfg = get_config(model_cfg_path) if model_cfg_path else default
+        clip_cfg = ClipTextConfig.vit_l_14()
+    if mode == "dual":
+        from ..config import Config
+
+        cfg = dict(cfg)
+        cfg["W_FUNC"] = w_func
+        cfg["W_VALUE"] = w_value
+        cfg = Config.wrap(cfg)
+    return In2INSystem(cfg, mode=mode, clip_cfg=clip_cfg)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="in2IN inference")
     parser.add_argument("--model", type=str, default=None)
@@ -51,28 +81,10 @@ def main(argv=None):
 
     import jax
 
-    from ..config import IN2IN_INTERACTION_DEFAULT, IN2IN_INDIVIDUAL_DEFAULT, get_config, tiny_config
-    from ..models.clip_text import ClipTextConfig
-    from ..systems import In2INSystem
-
+    system = build_system(args.model, mode=args.mode, tiny=args.tiny,
+                          w_func=args.w_func, w_value=args.w_value)
     if args.tiny:
-        cfg = tiny_config()
-        clip_cfg = ClipTextConfig.tiny()
         args.window = 16
-    else:
-        default = (
-            IN2IN_INDIVIDUAL_DEFAULT if args.mode == "individual" else IN2IN_INTERACTION_DEFAULT
-        )
-        cfg = get_config(args.model) if args.model else default
-        clip_cfg = ClipTextConfig.vit_l_14()
-    if args.mode == "dual":
-        cfg = dict(cfg)
-        cfg["W_FUNC"] = args.w_func
-        cfg["W_VALUE"] = args.w_value
-        from ..config import Config
-        cfg = Config.wrap(cfg)
-
-    system = In2INSystem(cfg, mode=args.mode, clip_cfg=clip_cfg)
     from ..systems import apply_sampler_overrides
 
     apply_sampler_overrides(system, args.sampler, args.sample_steps)

@@ -11,6 +11,22 @@ import os
 import numpy as np
 
 
+def build_system(model_cfg_path: str | None = None, tiny: bool = False):
+    from ..config import get_config, tiny_config
+    from ..models.clip_text import ClipTextConfig
+    from ..systems import MDMSystem
+
+    if tiny:
+        cfg = tiny_config()
+        clip_cfg = ClipTextConfig.tiny(width=64)
+    else:
+        from ..config import MDM_DEFAULT
+
+        cfg = get_config(model_cfg_path) if model_cfg_path else MDM_DEFAULT
+        clip_cfg = ClipTextConfig.vit_b_32()
+    return MDMSystem(cfg, clip_cfg=clip_cfg)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="MDM inference")
     parser.add_argument("--model", type=str, default=None)
@@ -32,21 +48,9 @@ def main(argv=None):
 
     import jax
 
-    from ..config import get_config, tiny_config
-    from ..models.clip_text import ClipTextConfig
-    from ..systems import MDMSystem
-
+    system = build_system(args.model, tiny=args.tiny)
     if args.tiny:
-        cfg = tiny_config()
-        clip_cfg = ClipTextConfig.tiny(width=64)
         args.window = 16
-    else:
-        from ..config import MDM_DEFAULT
-
-        cfg = get_config(args.model) if args.model else MDM_DEFAULT
-        clip_cfg = ClipTextConfig.vit_b_32()
-
-    system = MDMSystem(cfg, clip_cfg=clip_cfg)
     from ..systems import apply_sampler_overrides
 
     apply_sampler_overrides(system, args.sampler, args.sample_steps)

@@ -454,6 +454,166 @@ def export_in2in_denoiser(params: dict, prefix: str = "") -> Dict[str, np.ndarra
     return out
 
 
+def _layer_list(params: dict, outer: str, inner: str, unrolled: str) -> list:
+    """Per-layer trees from either the nn.scan stacked layout
+    (``params[outer][inner]``) or the unrolled ``{unrolled}_{i}`` layout."""
+    if outer in params:
+        import jax
+
+        stacked = params[outer][inner]
+        n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        return unstack_layer_tree(stacked, n)
+    layers = []
+    i = 0
+    while f"{unrolled}_{i}" in params:
+        layers.append(params[f"{unrolled}_{i}"])
+        i += 1
+    return layers
+
+
+def export_torch_encoder(params: dict, prefix: str, out: dict):
+    """Inverse of :func:`convert_torch_encoder` (torch nn.TransformerEncoder
+    key names)."""
+    for i, lp in enumerate(_layer_list(params, "layers", "layer", "layers")):
+        export_mha(lp["self_attn"], f"{prefix}.layers.{i}.self_attn", out)
+        export_linear(lp["linear1"], f"{prefix}.layers.{i}.linear1", out)
+        export_linear(lp["linear2"], f"{prefix}.layers.{i}.linear2", out)
+        export_layernorm(lp["norm1"], f"{prefix}.layers.{i}.norm1", out)
+        export_layernorm(lp["norm2"], f"{prefix}.layers.{i}.norm2", out)
+
+
+def export_clip_post_encoder(params: dict, enc_prefix: str, ln_prefix: str, out: dict):
+    export_torch_encoder(params["encoder"], enc_prefix, out)
+    export_layernorm(params["ln"], ln_prefix, out)
+
+
+def export_clip_text(params: dict, out: dict, prefix: str = "",
+                     transformer_name: str = "transformer"):
+    """Inverse of :func:`convert_clip_text`.  The reference stores the tower
+    pieces either re-parented at top level with the transformer named
+    ``clip_transformer`` (in2IN/MixerMDM, in2in.py:56-66) or whole under
+    ``clip_model.`` (MDM, mdm.py:71-82)."""
+    p = prefix + "." if prefix else ""
+    out[f"{p}token_embedding.weight"] = _np(params["token_embedding"])
+    out[f"{p}positional_embedding"] = _np(params["positional_embedding"])
+    export_layernorm(params["ln_final"], f"{p}ln_final", out)
+    if "text_projection" in params:
+        out[f"{p}text_projection"] = _np(params["text_projection"])
+    for i, rp in enumerate(_layer_list(params, "resblocks", "resblock", "resblocks")):
+        rb = f"{p}{transformer_name}.resblocks.{i}"
+        export_layernorm(rp["ln_1"], f"{rb}.ln_1", out)
+        export_layernorm(rp["ln_2"], f"{rb}.ln_2", out)
+        export_mha(rp["attn"], f"{rb}.attn", out)
+        export_linear(rp["c_fc"], f"{rb}.mlp.c_fc", out)
+        export_linear(rp["c_proj"], f"{rb}.mlp.c_proj", out)
+
+
+def export_in2in_system(params: dict, mode: str) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_in2in_system`: an In2INSystem param tree ->
+    a reference-layout in2IN state dict (denoisers under ``decoder.net_*``,
+    post-encoders ``clipTransEncoder_*``/``clip_ln_*``, CLIP tower re-parented
+    at top level)."""
+    sd: Dict[str, np.ndarray] = {}
+    if "clip" in params.get("text", {}):
+        export_clip_text(params["text"]["clip"], sd,
+                         transformer_name="clip_transformer")
+    if mode in ("interaction", "dual"):
+        sd.update(export_in2in_denoiser(params["denoiser_interaction"],
+                                        "decoder.net_interaction"))
+        export_clip_post_encoder(params["text"]["post_interaction"],
+                                 "clipTransEncoder_interaction",
+                                 "clip_ln_interaction", sd)
+    if mode in ("individual", "dual"):
+        sd.update(export_in2in_denoiser(params["denoiser_individual"],
+                                        "decoder.net_individual"))
+        export_clip_post_encoder(params["text"]["post_individual"],
+                                 "clipTransEncoder_individual",
+                                 "clip_ln_individual", sd)
+    return sd
+
+
+def export_influence(params: dict, prefix: str, out: dict):
+    export_linear(params["out"], f"{prefix}.out", out)
+    for i, bp in enumerate(_layer_list(params, "blocks", "block", "blocks")):
+        b = f"{prefix}.blocks.{i}"
+        export_mha(bp["sa_block"]["attention"], f"{b}.sa_block.attention", out)
+        if "norm" in bp["sa_block"]:
+            export_adaln(bp["sa_block"]["norm"], f"{b}.sa_block.norm", out)
+        export_mha(bp["ca_block"]["attention"], f"{b}.ca_block.attention", out)
+        export_adaln(bp["ca_block"]["norm"], f"{b}.ca_block.norm", out)
+        export_adaln(bp["ca_block"]["xf_norm"], f"{b}.ca_block.xf_norm", out)
+        export_ffn(bp["ffn"], f"{b}.ffn", out)
+
+
+def export_mixer_core(params: dict, out: dict, prefix: str = "mixing"):
+    p = prefix + "." if prefix else ""
+    export_timestep_embedder(params["embed_timestep"], f"{p}embed_timestep", out)
+    export_linear(params["motion_embed"], f"{p}motion_embed", out)
+    export_linear(params["text_embed"], f"{p}text_embed", out)
+    export_influence(params["influence"], f"{p}influence", out)
+
+
+def export_discriminator(params: dict, prefix: str, out: dict):
+    export_timestep_embedder(params["embed_timestep"], f"{prefix}.embed_timestep", out)
+    export_linear(params["motion_embed"], f"{prefix}.motion_embed", out)
+    export_linear(params["text_embed"], f"{prefix}.text_embed", out)
+    export_linear(params["out"], f"{prefix}.out", out)
+    for i, bp in enumerate(_layer_list(params, "blocks", "block", "blocks")):
+        export_transformer_block(bp, f"{prefix}.blocks.{i}", out)
+
+
+def export_mixermdm_system(params: dict) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_mixermdm_system`: the TRAINED parts only
+    (the shipped MixerMDM.ckpt drops the frozen submodels,
+    scripts/eval/mixermdm.py:302-304)."""
+    sd: Dict[str, np.ndarray] = {}
+    export_mixer_core(params["core"], sd, prefix="mixing")
+    export_discriminator(params["disc_i"], "discriminator_i", sd)
+    export_discriminator(params["disc_I"], "discriminator_I", sd)
+    export_clip_post_encoder(params["text"]["post_mixer"],
+                             "clipTransEncoder", "clip_ln", sd)
+    if "clip" in params.get("text", {}):
+        export_clip_text(params["text"]["clip"], sd,
+                         transformer_name="clip_transformer")
+    return sd
+
+
+def export_interclip(params: dict) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_interclip` (reference evaluation/models.py)."""
+    sd: Dict[str, np.ndarray] = {}
+    me = params["motion_encoder"]
+    sd["motion_encoder.query_token"] = _np(me["query_token"])
+    export_linear(me["embed_motion"], "motion_encoder.embed_motion", sd)
+    export_torch_encoder(me["transformer"], "motion_encoder.transformer", sd)
+    export_layernorm(me["out_ln"], "motion_encoder.out_ln", sd)
+    export_linear(me["out"], "motion_encoder.out", sd)
+    sd["token_embedding.weight"] = _np(params["token_embedding"])
+    sd["positional_embedding"] = _np(params["positional_embedding"])
+    sd["latent_scale"] = _np(params["latent_scale"])
+    export_torch_encoder(params["text_encoder"], "textTransEncoder", sd)
+    export_layernorm(params["text_ln"], "text_ln", sd)
+    export_linear(params["text_out"], "out", sd)
+    return sd
+
+
+def export_mdm_system(params: dict) -> Dict[str, np.ndarray]:
+    """Inverse of the MDM conversion (denoiser under ``model.``, CLIP tower
+    whole under ``clip_model.``, mdm.py:71-82)."""
+    sd: Dict[str, np.ndarray] = {}
+    dn = params["denoiser"]
+    export_timestep_embedder(dn["embed_timestep"], "model.embed_timestep", sd)
+    export_linear(dn["input_process"], "model.input_process.poseEmbedding", sd)
+    export_linear(dn["output_process"], "model.output_process.poseFinal", sd)
+    export_torch_encoder(dn["seqTransEncoder"], "model.seqTransEncoder", sd)
+    export_linear(params["embed_text"], "embed_text", sd)
+    if "clip" in params:
+        # MDM's ClipTextEncoder nests the tower under "transformer" with the
+        # projection alongside (clip_text.py:136-149).
+        export_clip_text(params["clip"]["transformer"], sd, prefix="clip_model")
+        sd["clip_model.text_projection"] = _np(params["clip"]["text_projection"])
+    return sd
+
+
 # ---------------------------------------------------------------------------
 # System-level converters: full reference checkpoints -> system param trees
 # ---------------------------------------------------------------------------
