@@ -70,6 +70,14 @@ inline Vec3 qrot(const Quat& q, const Vec3& v) {
           v.z + 2.0 * (q.w * uv.z + uuv.z)};
 }
 
+// Hamilton product (quaternion.py:24-38).
+inline Quat qmul(const Quat& a, const Quat& b) {
+  return {a.w * b.w - a.x * b.x - a.y * b.y - a.z * b.z,
+          a.w * b.x + a.x * b.w + a.y * b.z - a.z * b.y,
+          a.w * b.y - a.x * b.z + a.y * b.w + a.z * b.x,
+          a.w * b.z + a.x * b.y - a.y * b.x + a.z * b.w};
+}
+
 }  // namespace
 
 extern "C" {
@@ -188,6 +196,70 @@ int process_motion_interhuman(const float* motion, int64_t T, int raw_stride,
     root_pos_out[1] = 0.0f;
     root_pos_out[2] = static_cast<float>(rz);
   }
+  return 0;
+}
+
+// Fused two-person item: canonicalise BOTH persons, express person 2 in
+// person 1's canonical frame (the reference's per-item relative rigid
+// transform, interhuman.py:208-216 + utils.py:244-258), and zero-pad both to
+// max_len rows — the entire per-item hot path of InterHuman training items in
+// ONE GIL-released call.  m1/m2: (T, raw_stride) f32 (same cropped window);
+// out1/out2: (max_len, 262) f32.  gt_len_out receives T-1.
+int process_pair_interhuman(const float* m1, const float* m2, int64_t T,
+                            int raw_stride, float feet_thre, int prev_frames,
+                            int flip, int64_t max_len, float* out1,
+                            float* out2, int32_t* gt_len_out) {
+  const int64_t rows = T - 1;
+  if (T < 2 || rows > max_len) return 1;
+  // Round the per-person root quat/pos through f32, exactly like the Python
+  // caller of process_motion_interhuman_native does (native.py returns f32).
+  float q1f[4], p1f[3], q2f[4], p2f[3];
+  int rc = process_motion_interhuman(m1, T, raw_stride, feet_thre,
+                                     prev_frames, flip, out1, q1f, p1f);
+  if (rc != 0) return rc;
+  rc = process_motion_interhuman(m2, T, raw_stride, feet_thre, prev_frames,
+                                 flip, out2, q2f, p2f);
+  if (rc != 0) return rc;
+
+  // relative = [atan2(r_rel.y, r_rel.w), qrot(q1, p2-p1).xz]
+  // (interhuman.py:201-205).
+  Quat q1 = {q1f[0], q1f[1], q1f[2], q1f[3]};
+  Quat q2 = {q2f[0], q2f[1], q2f[2], q2f[3]};
+  Quat q1inv = {q1.w, -q1.x, -q1.y, -q1.z};
+  Quat rrel = qmul(q2, q1inv);
+  double angle = std::atan2(rrel.y, rrel.w);
+  Vec3 d = {static_cast<double>(p2f[0]) - p1f[0],
+            static_cast<double>(p2f[1]) - p1f[1],
+            static_cast<double>(p2f[2]) - p1f[2]};
+  Vec3 e = qrot(q1, d);
+  const double tx = e.x, tz = e.z;
+
+  // rigid_transform (utils.py:244-258): rotate person-2 positions and
+  // velocities by the INVERSE of the y-rotation quat, translate positions.
+  Quat rinv = {std::cos(angle), 0.0, -std::sin(angle), 0.0};
+  for (int64_t t = 0; t < rows; ++t) {
+    float* row = out2 + t * kFeatDim;
+    for (int j = 0; j < kJoints; ++j) {
+      float* p = row + j * 3;
+      Vec3 r = qrot(rinv, {p[0], p[1], p[2]});
+      p[0] = static_cast<float>(r.x + tx);
+      p[1] = static_cast<float>(r.y);
+      p[2] = static_cast<float>(r.z + tz);
+      float* v = row + 66 + j * 3;
+      Vec3 s = qrot(rinv, {v[0], v[1], v[2]});
+      v[0] = static_cast<float>(s.x);
+      v[1] = static_cast<float>(s.y);
+      v[2] = static_cast<float>(s.z);
+    }
+  }
+
+  if (rows < max_len) {
+    std::memset(out1 + rows * kFeatDim, 0,
+                sizeof(float) * (max_len - rows) * kFeatDim);
+    std::memset(out2 + rows * kFeatDim, 0,
+                sizeof(float) * (max_len - rows) * kFeatDim);
+  }
+  if (gt_len_out) *gt_len_out = static_cast<int32_t>(rows);
   return 0;
 }
 

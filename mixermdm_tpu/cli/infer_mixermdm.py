@@ -206,8 +206,12 @@ def main(argv=None):
         params = tp_shard_params(params, mesh)
         cond = jax.device_put(system.generate_cond(params, batch),
                               data_sharded(mesh))
-        sampled, infl = system.sample(params, cond, window, rng,
-                                      collect_influence=True, **sample_kwargs)
+        from ..utils.alignment import geometry_batch_scope
+
+        with geometry_batch_scope(mesh):
+            sampled, infl = system.sample(params, cond, window, rng,
+                                          collect_influence=True,
+                                          **sample_kwargs)
         out = {"output": sampled, "influence_i1": infl[0],
                "influence_i2": infl[1]}
     elif len(jax.devices()) > 1 and B % len(jax.devices()) == 0:

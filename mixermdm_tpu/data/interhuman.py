@@ -176,8 +176,29 @@ class InterHumanDataset:
             t1, t2 = t2, t1
 
         # Canonicalise through the native C++ pipeline when available
-        # (csrc/motion_ops.cpp; numpy fallback inside).
-        from .native import process_motion_interhuman_native
+        # (csrc/motion_ops.cpp; numpy fallback inside).  The fused pair call
+        # does canonicalisation + relative transform + padding in one
+        # GIL-released native call — the per-item hot path that lets thread
+        # workers actually scale (loader_bench.json).
+        from .native import (
+            process_motion_interhuman_native,
+            process_pair_interhuman_native,
+        )
+
+        pair = process_pair_interhuman_native(m1, m2, 0.001, 0, self.max_gt_length)
+        if pair is not None:
+            m1, m2, gt_length = pair
+            out = {
+                "name": item["name"],
+                "text": text,
+                "motion1": m1,
+                "motion2": m2,
+                "motion_lens": gt_length,
+            }
+            if self.extended:
+                out["text_individual1"] = t1
+                out["text_individual2"] = t2
+            return out
 
         m1, quat1, pos1 = process_motion_interhuman_native(m1, 0.001, 0)
         m2, quat2, pos2 = process_motion_interhuman_native(m2, 0.001, 0)

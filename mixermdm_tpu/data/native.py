@@ -55,6 +55,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
         ]
         lib.pad_stack.restype = ctypes.c_int
+        lib.process_pair_interhuman.restype = ctypes.c_int
+        lib.process_pair_interhuman.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         _LIB = lib
         return _LIB
 
@@ -87,6 +95,45 @@ def process_motion_interhuman_native(
     if rc != 0:
         raise ValueError(f"process_motion_interhuman failed: rc={rc}")
     return out, quat[None], pos[None]
+
+
+def process_pair_interhuman_native(
+    m1: np.ndarray,
+    m2: np.ndarray,
+    feet_thre: float,
+    prev_frames: int,
+    max_len: int,
+    flip: bool = True,
+):
+    """Fused two-person item path: canonicalise both persons, apply the
+    person-2-into-person-1 relative rigid transform (reference
+    interhuman.py:208-216), and zero-pad to ``max_len`` — one GIL-released
+    native call per training item, so thread workers scale.
+
+    Returns ``(m1 (max_len, 262), m2 (max_len, 262), gt_len)`` or ``None``
+    when the native library is unavailable (caller takes the per-stage path).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    m1 = np.ascontiguousarray(m1, np.float32)
+    m2 = np.ascontiguousarray(m2, np.float32)
+    T, stride = m1.shape
+    if m2.shape != (T, stride) or T - 1 > max_len:
+        return None
+    out1 = np.empty((max_len, 262), np.float32)
+    out2 = np.empty((max_len, 262), np.float32)
+    gt_len = np.empty((1,), np.int32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    rc = lib.process_pair_interhuman(
+        m1.ctypes.data_as(fp), m2.ctypes.data_as(fp), T, stride,
+        ctypes.c_float(feet_thre), prev_frames, int(flip), max_len,
+        out1.ctypes.data_as(fp), out2.ctypes.data_as(fp),
+        gt_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise ValueError(f"process_pair_interhuman failed: rc={rc}")
+    return out1, out2, int(gt_len[0])
 
 
 def native_available() -> bool:

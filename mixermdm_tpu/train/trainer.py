@@ -155,6 +155,12 @@ class MixerTrainer:
         )
 
     def _step(self, state: MixerTrainState, batch: dict, rng, *, mode: str):
+        from ..utils.alignment import geometry_batch_scope
+
+        with geometry_batch_scope(self.mesh):
+            return self._step_body(state, batch, rng, mode=mode)
+
+    def _step_body(self, state: MixerTrainState, batch: dict, rng, *, mode: str):
         sys = self.system
         keys = GEN_KEYS if mode == "generator" else DISC_KEYS
         opt = self.opt_gen if mode == "generator" else self.opt_disc

@@ -23,6 +23,8 @@ Layout notes (faithfully reproduced, including quirks):
 
 from __future__ import annotations
 
+import contextlib as _contextlib
+
 import jax
 import jax.numpy as jnp
 
@@ -34,6 +36,68 @@ from .rotations import (
     rotation_6d_to_matrix,
 )
 from .constants import FACE_JOINT_INDX
+
+# --------------------------------------------------------------------------
+# Multi-mesh sharding hint.  Under a dp x tp (2-D) mesh, GSPMD propagates the
+# tensor-parallel "model" axis from the denoiser matmuls onto the tiny
+# per-step geometry tensors here; the root-trajectory SLICES then need a
+# model-axis -> data-axis resharding the partitioner can only do by
+# "involuntary full rematerialization" (spmd_partitioner.cc warnings in the
+# dryrun).  Pinning the (B, T, J, 3) position/velocity tensors to plain
+# batch-over-"data" sharding keeps the whole geometry pool on the data axis,
+# where every op partitions trivially.  Identity when no mesh scope is set
+# (single chip, 1-D dp) — a with_sharding_constraint never changes math.
+# --------------------------------------------------------------------------
+
+_BATCH_MESH = None
+
+
+def set_geometry_batch_sharding(mesh=None, data_axis: str = "data") -> None:
+    """Scope the geometry ops' batch-axis sharding constraint to ``mesh``.
+
+    Called by the trainers and multi-device sampling paths when running over
+    a 2-D (dp x tp) mesh; ``None`` clears.  Recorded at TRACE time — set it
+    before the first jit of the step/chain."""
+    global _BATCH_MESH
+    _BATCH_MESH = None if mesh is None else (mesh, data_axis)
+
+
+@_contextlib.contextmanager
+def geometry_batch_scope(mesh, data_axis: str = "data", model_axis: str = "model"):
+    """Apply the geometry batch-sharding constraint while tracing under a
+    dp x tp mesh; no-op for ``None``, 1-D (pure dp) meshes, or a trivial
+    model axis.  Scoped (set/restore) so one process can trace programs over
+    several different meshes — a bare global would leak a dead mesh into the
+    next trace."""
+    if (
+        mesh is None
+        or model_axis not in getattr(mesh, "axis_names", ())
+        or data_axis not in mesh.axis_names
+        or mesh.shape[model_axis] <= 1
+    ):
+        yield
+        return
+    global _BATCH_MESH
+    prev = _BATCH_MESH
+    _BATCH_MESH = (mesh, data_axis)
+    try:
+        yield
+    finally:
+        _BATCH_MESH = prev
+
+
+def _bc(x: jnp.ndarray) -> jnp.ndarray:
+    """Constrain the leading (batch) axis to the data mesh axis, everything
+    else replicated; identity outside a mesh scope or on indivisible batch."""
+    if _BATCH_MESH is None:
+        return x
+    mesh, da = _BATCH_MESH
+    if da not in mesh.axis_names or x.shape[0] % mesh.shape[da] != 0:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = PartitionSpec(da, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def orthonormalize_rot6d(motion: jnp.ndarray) -> jnp.ndarray:
@@ -72,8 +136,8 @@ def center_person_fast(motion: jnp.ndarray) -> jnp.ndarray:
     rotations, contacts zeroed (the reference chain's contact-drop quirk).
     """
     B, T = motion.shape[:2]
-    pos = motion[..., :66].reshape(B, T, 22, 3)
-    vel = motion[..., 66:132].reshape(B, T, 22, 3)
+    pos = _bc(motion[..., :66].reshape(B, T, 22, 3))
+    vel = _bc(motion[..., 66:132].reshape(B, T, 22, 3))
 
     floor = pos[..., 1].min(axis=(1, 2))
     pos = pos.at[..., 1].add(-floor[:, None, None])
@@ -109,9 +173,9 @@ def align_persons_fast(ref262: jnp.ndarray, mov262: jnp.ndarray, mask=None):
     stream passes through with rotations orthonormalised and contacts kept.
     """
     B, T = ref262.shape[:2]
-    pos_r = ref262[..., :66].reshape(B, T, 22, 3)
-    pos_m = mov262[..., :66].reshape(B, T, 22, 3)
-    vel_m = mov262[..., 66:132].reshape(B, T, 22, 3)
+    pos_r = _bc(ref262[..., :66].reshape(B, T, 22, 3))
+    pos_m = _bc(mov262[..., :66].reshape(B, T, 22, 3))
+    vel_m = _bc(mov262[..., 66:132].reshape(B, T, 22, 3))
 
     delta = pos_r[:, 0, 0] - pos_m[:, 0, 0]
     pos_m = pos_m + delta[:, None, None, :]

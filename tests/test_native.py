@@ -40,6 +40,57 @@ class TestNativePipeline:
         contacts = feats[:, 258:]
         assert set(np.unique(contacts)).issubset({0.0, 1.0})
 
+    def test_pair_matches_per_stage_path(self):
+        """Fused pair call == canonicalise x2 + Python relative rigid
+        transform + pad (the dataset's fallback path, interhuman.py:208-216)."""
+        from mixermdm_tpu.data.native import process_pair_interhuman_native
+        from mixermdm_tpu.utils.features import _qrot_np, rigid_transform
+
+        m1r, m2r = raw_motion(T=40, seed=4), raw_motion(T=40, seed=5)
+        o1, o2, L = process_pair_interhuman_native(m1r, m2r, 0.001, 0, 50)
+        assert (o1.shape, o2.shape, L) == ((50, 262), (50, 262), 39)
+        assert (o1[39:] == 0).all() and (o2[39:] == 0).all()
+
+        f1, q1, p1 = process_motion_interhuman_native(m1r, 0.001, 0)
+        f2, q2, p2 = process_motion_interhuman_native(m2r, 0.001, 0)
+
+        def qmul_np(q, r):
+            w1, x1, y1, z1 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+            w2, x2, y2, z2 = r[..., 0], r[..., 1], r[..., 2], r[..., 3]
+            return np.stack(
+                [w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+                 w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                 w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                 w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2], axis=-1)
+
+        r_rel = qmul_np(q2, q1 * np.array([1.0, -1.0, -1.0, -1.0]))
+        angle = np.arctan2(r_rel[:, 2:3], r_rel[:, 0:1])
+        xz = _qrot_np(q1, p2 - p1)[:, [0, 2]]
+        f2t = rigid_transform(np.concatenate([angle, xz], axis=-1)[0], f2)
+        np.testing.assert_allclose(o1[:39], f1, atol=1e-6)
+        np.testing.assert_allclose(o2[:39], f2t.astype(np.float32), atol=1e-5)
+
+    def test_dataset_native_vs_fallback(self):
+        """End-to-end: dataset items identical (tolerance) with and without
+        the native library, same augmentation seed."""
+        import random
+
+        import mixermdm_tpu.data.native as N
+        from mixermdm_tpu.data import InterHumanDataset, make_interhuman_fixture
+
+        root = "/tmp/native_ds_parity"
+        make_interhuman_fixture(root, n_clips=3, n_frames=64)
+        a = InterHumanDataset(root, mode="train", rng=random.Random(7))[1]
+        prev = (N._LIB, N._TRIED)
+        N._LIB, N._TRIED = None, True
+        try:
+            b = InterHumanDataset(root, mode="train", rng=random.Random(7))[1]
+        finally:
+            N._LIB, N._TRIED = prev
+        assert a["motion_lens"] == b["motion_lens"] and a["text"] == b["text"]
+        np.testing.assert_allclose(a["motion1"], b["motion1"], atol=2e-5)
+        np.testing.assert_allclose(a["motion2"], b["motion2"], atol=2e-4)
+
 
 def test_fallback_works_without_native(monkeypatch):
     import mixermdm_tpu.data.native as N
