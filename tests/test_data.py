@@ -113,6 +113,31 @@ class TestLoader:
             with pytest.raises(RuntimeError, match="corrupt sample"):
                 list(dl)
 
+    def test_native_loader_outruns_per_chip_consumption(self, tmp_path):
+        """The native item pipeline must sustain at least the ~98 items/s one
+        chip's training step consumes (BASELINE.md) — the fused C++ pair path
+        measures ~1.5k items/s unloaded (loader_bench.json), so a 98/s floor
+        holds even on a busy CI machine.  Skipped without a C++ toolchain."""
+        import time
+
+        from mixermdm_tpu.data import make_interhuman_fixture
+        from mixermdm_tpu.data.native import native_available
+
+        if not native_available():
+            pytest.skip("no C++ toolchain")
+        root = str(tmp_path / "loader_rate")
+        make_interhuman_fixture(root, n_clips=16, n_frames=301)
+        ds = InterHumanDataset(root, mode="train", cache=True)
+        loader = DataLoader(ds, batch_size=16, num_workers=1, prefetch=2)
+        for _ in loader:  # warm (thread spin-up, lazy imports)
+            break
+        items, t0 = 0, time.perf_counter()
+        while time.perf_counter() - t0 < 2.0:
+            for b in loader:
+                items += b["motions"].shape[0]
+        rate = items / (time.perf_counter() - t0)
+        assert rate >= 98.0, f"native loader sustains only {rate:.0f} items/s"
+
     def test_multiworker_order_matches_single(self, ih_root):
         """num_workers must not change batch order or content within an
         epoch (deterministic epochs regardless of parallelism)."""
