@@ -72,23 +72,39 @@ def build_system(tiny: bool = False, quant: bool | None = None, steps: int | Non
 
 
 
-def estimate_chain_flops(system, B: int, T: int) -> float:
+def estimate_chain_flops(system, B: int, T: int, split: bool = False):
     """Analytic matmul FLOPs of one full sampling call (all steps).
 
     Counts the dominant dense ops of the per-step mixer forward at the
     CFG-doubled batch: the two frozen in2IN denoisers, the mixer/influence
     core, and the stream embeddings; elementwise geometry is ignored
     (<<1% of FLOPs).  2*M*N*K per (M,K)x(K,N) matmul.
+
+    With ``split=True`` returns ``(int8_flops, bf16_flops)``: projections
+    and FFNs of modules whose latent dim clears the w8a8 width gate run on
+    the MXU's int8 path when QUANT_FROZEN is on; attention matmuls (qk^T,
+    av) always stay bf16.  Needed for honest DUAL-PEAK MFU — quoting int8
+    work against the bf16 ceiling overstates proximity to the hardware.
     """
-    def proj(tokens, k, n):
-        return 2.0 * tokens * k * n
+    from mixermdm_tpu.models import layers as _layers
+
+    quant_on = bool(getattr(system, "quant_frozen", False)) and _layers._W8A8
+    gate = _layers._W8A8_MIN_DIM
+    acc = {"int8": 0.0, "bf16": 0.0}
+
+    def proj(tokens, k, n, E_gate):
+        key = "int8" if (quant_on and E_gate >= gate) else "bf16"
+        acc[key] += 2.0 * tokens * k * n
 
     def sa(tokens, T_seq, E):
-        # q,k,v,out projections + qk^T + av
-        return 4 * proj(tokens, E, E) + 2 * (tokens * T_seq * E) * 2
+        # q,k,v,out projections (quantisable) + qk^T + av (always bf16)
+        for _ in range(4):
+            proj(tokens, E, E, E)
+        acc["bf16"] += 2 * (tokens * T_seq * E) * 2
 
     def ffn(tokens, E, FF):
-        return proj(tokens, E, FF) + proj(tokens, FF, E)
+        proj(tokens, E, FF, E)
+        proj(tokens, FF, E, E)
 
     cfg1 = system.model1.cfg   # individual denoiser
     cfg2 = system.model2.cfg   # interaction denoiser
@@ -101,25 +117,40 @@ def estimate_chain_flops(system, B: int, T: int) -> float:
     # individual denoiser: person-stacked 2*Bc batch, blocks = SA + FFN
     E1, FF1, L1 = int(cfg1.LATENT_DIM), int(cfg1.FF_SIZE), int(cfg1.NUM_LAYERS)
     tok1 = 2 * Bc * T
-    den1 = L1 * (sa(tok1, T, E1) + ffn(tok1, E1, FF1))
-    den1 += proj(tok1, F, E1) + proj(tok1, E1, F)          # in/out process
+    for _ in range(L1):
+        sa(tok1, T, E1)
+        ffn(tok1, E1, FF1)
+    proj(tok1, F, E1, 0)                                    # in/out process
+    proj(tok1, E1, F, 0)
 
     # interaction denoiser: Bc batch, two person streams, SA + CA + FFN each
     E2, FF2, L2 = int(cfg2.LATENT_DIM), int(cfg2.FF_SIZE), int(cfg2.NUM_LAYERS)
     tok2 = 2 * Bc * T                                       # 2 streams
-    den2 = L2 * (sa(tok2, T, E2) + sa(tok2, T, E2) + ffn(tok2, E2, FF2))
-    den2 += proj(tok2, F, E2) + proj(tok2, E2, F)
+    for _ in range(L2):
+        sa(tok2, T, E2)
+        sa(tok2, T, E2)                                     # cross-person CA
+        ffn(tok2, E2, FF2)
+    proj(tok2, F, E2, 0)
+    proj(tok2, E2, F, 0)
 
     # mixer / influence core: 4 stream embeddings + per-person stacks of
     # InfluenceBlockCross (SA + CA + FFN) + the 23-way head
     Eg, FFg, Lg = int(g.LATENT_DIM), int(g.FF_SIZE), int(g.NUM_LAYERS)
     tokg = Bc * T
-    core = 4 * proj(tokg, F, Eg)                            # stream embeds
-    per_person = Lg * (2 * sa(tokg, T, Eg) + ffn(tokg, Eg, FFg))
-    core += 2 * per_person
-    core += 2 * proj(tokg, Eg, 23)
+    for _ in range(4):
+        proj(tokg, F, Eg, 0)                                # stream embeds
+    for _ in range(2 * Lg):                                 # per person
+        sa(tokg, T, Eg)
+        sa(tokg, T, Eg)                                     # CA
+        ffn(tokg, Eg, FFg)
+    proj(tokg, Eg, 23, 0)
+    proj(tokg, Eg, 23, 0)
 
-    return float(n_steps) * (den1 + den2 + core)
+    int8_f = float(n_steps) * acc["int8"]
+    bf16_f = float(n_steps) * acc["bf16"]
+    if split:
+        return int8_f, bf16_f
+    return int8_f + bf16_f
 
 def main(tiny: bool = False, repeats: int = 3, quant: bool | None = None,
          steps: int | None = None, quant_min_dim: int | None = None,
@@ -179,16 +210,26 @@ def main(tiny: bool = False, repeats: int = 3, quant: bool | None = None,
     }
 
     # MFU estimate (BASELINE.md tracks the 195-197 TFLOP/s bf16 ceiling
-    # measured on this chip).  Neither backend cost analysis works here: the
-    # hot matmuls live inside Pallas custom calls (invisible to XLA cost
-    # analysis), the chain is a lax.scan (body counted once), and the axon
-    # backend returns None from Lowered.cost_analysis().  So count the
-    # architecture's matmul FLOPs analytically.
+    # measured on this chip; int8 projections run at 2x that rate).  Neither
+    # backend cost analysis works here: the hot matmuls live inside Pallas
+    # custom calls (invisible to XLA cost analysis), the chain is a lax.scan
+    # (body counted once), and the axon backend returns None from
+    # Lowered.cost_analysis().  So count the architecture's matmul FLOPs
+    # analytically.  The headline MFU is DUAL-PEAK (VERDICT r3 weak #3):
+    # achieved time vs the analytic floor with int8 projections at 394 TF/s
+    # and everything bf16 at 197 TF/s — "% of bf16 peak" alone overstates
+    # proximity to the hardware when most FLOPs ride the int8 path.
     try:
-        tflops = estimate_chain_flops(system, b, t) / 1e12
+        int8_tf, bf16_tf = (
+            f / 1e12 for f in estimate_chain_flops(system, b, t, split=True)
+        )
+        tflops = int8_tf + bf16_tf
         tflops_s = tflops / best
+        sol_s = int8_tf / 394.0 + bf16_tf / 197.0   # dual-peak floor (s)
         result["model_tflops"] = round(tflops, 2)
+        result["model_tflops_int8"] = round(int8_tf, 2)
         result["tflops_per_s"] = round(tflops_s, 2)
+        result["mfu_dual_peak_pct"] = round(100.0 * sol_s / best, 2)
         result["mfu_vs_bf16_peak_pct"] = round(100.0 * tflops_s / 197.0, 2)
     except Exception as e:
         import sys as _sys

@@ -66,6 +66,15 @@ def main(argv=None):
     parser.add_argument("--force-influence-sweep", type=str, default="none,0",
                         help="comma list of force_influence values for "
                              "--dualmdm-cross ('none' = learned influence)")
+    parser.add_argument("--decompose", type=str, default="none",
+                        choices=("none", "identity", "heuristic"),
+                        help="interaction-text decomposition for the "
+                             "InterHuman side (the reference's llm=True "
+                             "splitter, evaluation/datasets.py:32-96): "
+                             "'heuristic' = offline linguistic clause "
+                             "splitter, 'identity' = force both persons to "
+                             "the interaction caption, 'none' = use the "
+                             "dataset's individual texts (default)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-data-parallel", action="store_true",
                         help="disable sharding generation over the device mesh")
@@ -176,9 +185,15 @@ def main(argv=None):
         dataset = InterHumanDataset(args.data_root, mode="test", max_gt_length=max_frames)
         if len(dataset) == 0:
             raise SystemExit(f"no test data under {args.data_root}")
+        decomposer = None
+        if args.decompose != "none":
+            from ..eval.decompose import get_decomposer
+
+            decomposer = get_decomposer(args.decompose)
         metrics_ih = run_side(
             system, params, dataset, wrapper, protocol,
-            individual=False, batch_size=batch_size, **side_kw,
+            individual=False, batch_size=batch_size,
+            text_decomposer=decomposer, **side_kw,
         )
 
     if args.datasets in ("both", "hml3d"):

@@ -226,6 +226,15 @@ def main(argv=None):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: clients reuse one TCP connection across
+        # requests.  Besides the handshake cost, per-request connections
+        # make tail latency hostage to SYN loss — a single dropped SYN costs
+        # the client a full retransmit backoff (measured: 12 s / 72 s p99
+        # spikes under concurrent load, serve_bench.json round 4, while the
+        # device dispatches stayed at ~0.8 s throughout).  Responses always
+        # carry Content-Length, which HTTP/1.1 persistence requires.
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *a):  # quiet default access log
             pass
 

@@ -11,8 +11,10 @@ compare base vs composed models), plus the HumanML3D twins :385-546.
 TPU re-design: generation is *batched* through the jitted sampling chain
 (the reference loops the GT set at batch=1 — datasets.py:116); the LLM text
 decomposition is an injectable callable (the reference hardcodes
-langchain + OpenAI gpt-4o-mini, :32-96 — unavailable offline, so the default
-decomposer is the identity "both persons do the interaction" fallback).
+langchain + OpenAI gpt-4o-mini, :32-96 — unavailable offline).  The default
+decomposer is the identity "both persons do the interaction" fallback; a
+real offline splitter lives in :mod:`mixermdm_tpu.eval.decompose`
+(``heuristic_text_decomposer``, eval CLI ``--decompose heuristic``).
 """
 
 from __future__ import annotations

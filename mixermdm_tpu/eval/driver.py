@@ -62,11 +62,17 @@ class BaseSystemAdapter:
 
 
 def generate_batches(system, params, dataset, rng, *, num_samples, batch_size,
-                     per_item, mesh=None, sample_kwargs=None):
+                     per_item, mesh=None, sample_kwargs=None,
+                     text_decomposer=None):
     """Batched generation over a GT set.
 
     Returns (gt_batches, gen_batches, ind_text_batches); every batch is
     ``(texts, motions(B,T,D), lens)``.
+
+    ``text_decomposer`` (captions -> (t1_list, t2_list)) OVERRIDES the
+    dataset's individual texts — the reference's ``llm=True`` behaviour
+    (evaluation/datasets.py:71-96, the gpt-4o-mini splitter); ``None`` keeps
+    the dataset texts with the identity fallback when absent.
     """
     import jax
     import numpy as np
@@ -79,7 +85,11 @@ def generate_batches(system, params, dataset, rng, *, num_samples, batch_size,
     for idx in length_groups(list(range(n)), dataset, per_item, batch_size):
         items = [dataset[i] for i in idx]
         batch = collate(items)
-        if "text_individual1" not in batch:
+        if text_decomposer is not None:
+            t1, t2 = text_decomposer(list(batch["text"]))
+            batch["text_individual1"] = list(t1)
+            batch["text_individual2"] = list(t2)
+        elif "text_individual1" not in batch:
             batch["text_individual1"] = list(batch["text"])
             batch["text_individual2"] = list(batch["text"])
         gt_batches.append(
@@ -103,7 +113,8 @@ def generate_batches(system, params, dataset, rng, *, num_samples, batch_size,
 def run_side(system, params, gt_dataset, wrapper, protocol, *, individual,
              num_samples, batch_size, max_frames, replications, seed,
              per_item=False, mm_num_samples=None, mm_num_repeats=None,
-             model_name="mixermdm", mesh=None, sample_kwargs=None):
+             model_name="mixermdm", mesh=None, sample_kwargs=None,
+             text_decomposer=None):
     """One dataset side of the protocol (reference ``evaluation()``,
     eval/mixermdm.py:124-213).  Returns {metric: {name: [per-replication]}}.
 
@@ -131,11 +142,21 @@ def run_side(system, params, gt_dataset, wrapper, protocol, *, individual,
         print(f"== replication {rep + 1}/{replications} ==")
         rng = jax.random.PRNGKey(seed + 1000 * rep)
         rng, gen_rng, mm_rng = jax.random.split(rng, 3)
+        import time as _time
+
+        _t0 = _time.perf_counter()
         gt_batches, gen_batches, ind_texts = generate_batches(
             system, params, gt_dataset, gen_rng,
             num_samples=num_samples, batch_size=batch_size,
             per_item=per_item, mesh=mesh, sample_kwargs=sample_kwargs,
+            text_decomposer=text_decomposer,
         )
+        # Generation dominates the protocol wall-clock and is the part that
+        # shards over a data mesh — report it separately so multi-chip
+        # wall-clock projects as gen/N + scoring.
+        print(f"generation: {_time.perf_counter() - _t0:.1f}s "
+              f"({sum(len(b[0]) for b in gen_batches)} items"
+              f"{f', {mesh.devices.size}-device mesh' if mesh is not None else ''})")
         if individual:
             # The individual evaluator scores per-person halves against the
             # per-person texts (2B interleave, evaluation/utils.py:282-301).

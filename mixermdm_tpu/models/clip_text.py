@@ -29,7 +29,7 @@ import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import TorchMultiheadAttention, remat_scan_enabled
+from .layers import TorchMultiheadAttention, maybe_remat
 from .torch_compat import LayerNormAffine
 
 CONTEXT_LENGTH = 77
@@ -118,8 +118,7 @@ class ClipTextTransformer(nn.Module):
         causal = jnp.triu(jnp.full((T, T), -jnp.inf), k=1)
         if getattr(c, "scan_layers", True):
             stack = nn.scan(
-                (nn.remat(_ClipScanBody, prevent_cse=False)
-                     if remat_scan_enabled() else _ClipScanBody),
+                maybe_remat(_ClipScanBody),
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast,),

@@ -12,7 +12,7 @@ import flax.linen as nn
 
 from .blocks import TransformerBlockSimple
 from .embeddings import PositionalEncoding, TimestepEmbedder
-from .layers import TorchLinear, remat_scan_enabled
+from .layers import TorchLinear, maybe_remat
 
 
 class _SimpleScanBody(nn.Module):
@@ -59,8 +59,7 @@ class DiscriminatorTransformer(nn.Module):
 
         if self.scan_layers:
             stack = nn.scan(
-                (nn.remat(_SimpleScanBody, prevent_cse=False)
-                     if remat_scan_enabled() else _SimpleScanBody),
+                maybe_remat(_SimpleScanBody),
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast),

@@ -20,7 +20,7 @@ import flax.linen as nn
 
 from .blocks import TransformerBlockDoubleCond
 from .embeddings import PositionalEncoding, TimestepEmbedder
-from .layers import FinalLayer, TorchLinear, remat_scan_enabled
+from .layers import FinalLayer, TorchLinear, maybe_remat
 from ..parallel.pipeline import pipeline_context, pipeline_scan
 
 
@@ -133,8 +133,7 @@ class In2INDenoiser(nn.Module):
                 )
             if self.scan_layers:
                 stack = nn.scan(
-                    (nn.remat(_DoubleCondScanBody, prevent_cse=False)
-                     if remat_scan_enabled() else _DoubleCondScanBody),
+                    maybe_remat(_DoubleCondScanBody),
                     variable_axes={"params": 0},
                     split_rngs={"params": True, "dropout": True},
                     in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),

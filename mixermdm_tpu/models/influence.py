@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .blocks import InfluenceBlockCross
-from .layers import TorchLinear, remat_scan_enabled
+from .layers import TorchLinear, maybe_remat
 
 
 class _InfluenceScanBody(nn.Module):
@@ -63,8 +63,7 @@ class Influence(nn.Module):
         h = m_i
         if self.scan_layers:
             stack = nn.scan(
-                (nn.remat(_InfluenceScanBody, prevent_cse=False)
-                     if remat_scan_enabled() else _InfluenceScanBody),
+                maybe_remat(_InfluenceScanBody),
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),

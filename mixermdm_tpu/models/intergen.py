@@ -13,7 +13,7 @@ import flax.linen as nn
 
 from .blocks import TransformerBlock
 from .embeddings import PositionalEncoding, TimestepEmbedder
-from .layers import FinalLayer, TorchLinear, remat_scan_enabled
+from .layers import FinalLayer, TorchLinear, maybe_remat
 
 
 class _InterScanBody(nn.Module):
@@ -68,8 +68,7 @@ class InterDenoiser(nn.Module):
 
         if self.scan_layers:
             stack = nn.scan(
-                (nn.remat(_InterScanBody, prevent_cse=False)
-                     if remat_scan_enabled() else _InterScanBody),
+                maybe_remat(_InterScanBody),
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast),

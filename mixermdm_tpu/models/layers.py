@@ -140,6 +140,41 @@ def set_remat_scan(enabled: bool) -> None:
     _REMAT_SCAN = enabled
 
 
+# Optional jax.checkpoint POLICY for the scan-body remat: a middle ground
+# between plain remat (save only the carry, recompute the whole body in the
+# backward) and no-remat (save every intermediate).  "dots" saves matmul
+# outputs but recomputes elementwise/softmax work — often the TPU sweet spot
+# when the step is HBM-bound (BASELINE.md round-4 A/B).
+_REMAT_POLICY: str | None = None
+
+
+def set_remat_policy(name: str | None) -> None:
+    """``None`` (default) = plain remat; "dots" =
+    ``dots_with_no_batch_dims_saveable``; "dots_all" = ``dots_saveable``
+    (also saves the attention logit/probability matmuls)."""
+    if name not in (None, "dots", "dots_all"):
+        raise ValueError(f"unknown remat policy {name!r}")
+    global _REMAT_POLICY
+    _REMAT_POLICY = name
+
+
+def maybe_remat(body):
+    """Wrap a scan body per the remat toggles: identity when remat is off,
+    ``nn.remat`` with the configured checkpoint policy when on.  Read at
+    TRACE time, like the other layer-scope globals."""
+    import flax.linen as nn
+    import jax
+
+    if not _REMAT_SCAN:
+        return body
+    kw = {}
+    if _REMAT_POLICY == "dots":
+        kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    elif _REMAT_POLICY == "dots_all":
+        kw["policy"] = jax.checkpoint_policies.dots_saveable
+    return nn.remat(body, prevent_cse=False, **kw)
+
+
 class fused_scope:
     """Trace-time re-enable of the fused (VJP-less) kernels inside a
     FROZEN subgraph of a training trace.

@@ -36,14 +36,30 @@ def _get(port: int, path: str) -> dict:
         return json.loads(r.read())
 
 
-def _post(port: int, payload: dict) -> dict:
-    req = urllib.request.Request(
-        f"http://127.0.0.1:{port}/generate",
-        data=json.dumps(payload).encode(),
-        headers={"Content-Type": "application/json"},
-    )
-    with urllib.request.urlopen(req, timeout=600) as r:
-        return json.loads(r.read())
+class _Client:
+    """Persistent keep-alive connection per client thread (the server speaks
+    HTTP/1.1): one handshake per CLIENT, not per request — per-request SYNs
+    occasionally drop in sandboxed networks and cost a 12 s/72 s retransmit
+    backoff that has nothing to do with the serving path under test."""
+
+    def __init__(self, port: int):
+        import http.client
+
+        self._conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+
+    def post(self, payload: dict) -> dict:
+        body = json.dumps(payload).encode()
+        try:
+            self._conn.request("POST", "/generate", body,
+                               {"Content-Type": "application/json"})
+            resp = self._conn.getresponse()
+            return json.loads(resp.read())
+        except Exception:
+            self._conn.close()  # reconnect once on a broken keep-alive
+            self._conn.request("POST", "/generate", body,
+                               {"Content-Type": "application/json"})
+            resp = self._conn.getresponse()
+            return json.loads(resp.read())
 
 
 def start_server(port: int, args, sampler: str | None, steps: int | None):
@@ -91,9 +107,10 @@ def drive(port: int, clients: int, num_samples: int, seconds: float,
     prompt["format"] = "npy_base64"
 
     def client():
+        conn = _Client(port)
         while time.time() < stop:
             t0 = time.time()
-            _post(port, prompt)
+            conn.post(prompt)
             dt = time.time() - t0
             with lock:
                 lat.append(dt)

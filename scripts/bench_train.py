@@ -35,6 +35,12 @@ def main(argv=None):
     p.add_argument("--no-remat", action="store_true",
                    help="disable scan-body remat for the differentiated "
                         "stacks (trade HBM for recompute)")
+    p.add_argument("--remat-policy", type=str, default=None,
+                   choices=("dots", "dots_all"),
+                   help="jax.checkpoint policy for the scan-body remat: "
+                        "'dots' saves matmul outputs (no backward "
+                        "re-matmuls, elementwise still recomputed); "
+                        "'dots_all' also saves the attention matmuls")
     p.add_argument("--f32-disc", action="store_true",
                    help="keep discriminator compute f32 (default: bf16 on "
                         "TPU, like the reference's 16-mixed)")
@@ -63,6 +69,10 @@ def main(argv=None):
         from mixermdm_tpu.models.layers import set_remat_scan
 
         set_remat_scan(False)
+    if args.remat_policy:
+        from mixermdm_tpu.models.layers import set_remat_policy
+
+        set_remat_policy(args.remat_policy)
     params = system.init_params(jax.random.PRNGKey(0))
     trainer = MixerTrainer(system, grad_acc_steps=2, discriminator_steps=1,
                            donate=True,
@@ -121,6 +131,7 @@ def main(argv=None):
 
     qt = ", quant-train" if args.quant_train else ""
     qt += ", no-remat" if args.no_remat else ""
+    qt += f", remat={args.remat_policy}" if args.remat_policy else ""
     qt += ", f32-disc" if args.f32_disc else ""
     best = time_steps(f"{TR.TRAIN_ATTENTION} attention path{qt}")
     results.update({

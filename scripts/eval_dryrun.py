@@ -30,7 +30,24 @@ def main(argv=None):
                         help="default: protocol (50)")
     parser.add_argument("--datasets", type=str, default="both")
     parser.add_argument("--out", type=str, default="/tmp/eval_dryrun.json")
+    parser.add_argument("--cpu-mesh", type=int, default=0,
+                        help="run on N virtual CPU devices instead of the "
+                             "chip: proves the SHARDED generation path of "
+                             "the production protocol (eval driver "
+                             "_sharded_sample) without N real chips")
     args = parser.parse_args(argv)
+
+    if args.cpu_mesh:
+        # Must precede any jax import/backend touch.
+        flag = f"--xla_force_host_platform_device_count={args.cpu_mesh}"
+        if flag not in os.environ.get("XLA_FLAGS", ""):
+            os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " " + flag
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        assert len(jax.devices()) == args.cpu_mesh
 
     from mixermdm_tpu.cli.eval_mixermdm import main as eval_main
     from mixermdm_tpu.data import make_hml3d_fixture, make_interhuman_fixture

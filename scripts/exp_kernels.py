@@ -231,6 +231,8 @@ def main():
                     help="time the kernel with pieces disabled")
     ap.add_argument("--headbatch", action="store_true",
                     help="batched-dot attention vs the per-head loop")
+    ap.add_argument("--int8attn", action="store_true",
+                    help="static activation scales + int8 attention matmuls")
     args = ap.parse_args()
 
     if args.ablate:
@@ -238,6 +240,9 @@ def main():
         return
     if args.headbatch:
         headbatch_main(args.quant, args.check)
+        return
+    if args.int8attn:
+        int8attn_main()
         return
 
     from mixermdm_tpu.utils.cache import enable_compilation_cache
@@ -634,6 +639,246 @@ def headbatch_main(quant, check):
     for name, fn in (("v0 head-loop", v0), ("head-batched", hb)):
         dt = max(timeit(fn, x, sc, sh) - base, 1e-9)
         print(f"{name:14s} {dt * 1e3:7.3f} ms")
+
+
+# --------------------------------------------------------------------------
+# VERDICT r4 int8 levers: (a) STATIC calibrated activation scale for the
+# projections (the frozen denoisers see a known input distribution — one
+# scalar scale per kernel per checkpoint replaces the per-row max reduce);
+# (b) int8 ATTENTION matmuls — p@v with a static p-scale (softmax output is
+# in [0,1] so 1/127 is exact up to rounding) + per-tensor v-scale, and
+# optionally q@k with per-tensor q/k scales.  These change numerics
+# (calibration clipping / attention rounding), so the harness reports the
+# deviation vs the shipped w8a8 kernel alongside the timing.
+# --------------------------------------------------------------------------
+
+def _sa_i8x_kernel(
+    x_ref, scale_ref, shift_ref, kbias_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+    wqs_ref, wks_ref, wvs_ref, wos_ref,
+    out_ref,
+    *, n_heads, attn_scale, zero_attn, eps, residual,
+    static_as, qpv, qqk,
+):
+    E = x_ref.shape[2]
+    Tq = out_ref.shape[1]
+    D = E // n_heads
+    x = x_ref[0]
+    cd = x.dtype
+
+    xn = _ln(x.astype(jnp.float32), eps).astype(cd)
+    xn = xn * (1.0 + scale_ref[0, 0]) + shift_ref[0, 0]
+
+    if static_as is not None:
+        inv = 1.0 / static_as
+        x8 = jnp.clip(jnp.round(xn.astype(jnp.float32) * inv),
+                      -127.0, 127.0).astype(jnp.int8)
+
+        def dq(x8r, w8, ws):
+            acc = jax.lax.dot_general(
+                x8r, w8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return acc.astype(jnp.float32) * (ws * static_as)
+
+        q = dq(x8[:Tq], wq_ref[...], wqs_ref[...]) + bq_ref[...]
+        k = dq(x8, wk_ref[...], wks_ref[...]) + bk_ref[...]
+        v = dq(x8, wv_ref[...], wvs_ref[...]) + bv_ref[...]
+    else:
+        x8, xs = _quant_act(xn)
+        q = _qdot8(x8[:Tq], xs[:Tq], wq_ref[...], wqs_ref[...]) + bq_ref[...]
+        k = _qdot8(x8, xs, wk_ref[...], wks_ref[...]) + bk_ref[...]
+        v = _qdot8(x8, xs, wv_ref[...], wvs_ref[...]) + bv_ref[...]
+
+    kbias = kbias_ref[0]
+    soft_dtype = jnp.bfloat16 if cd == jnp.bfloat16 else jnp.float32
+
+    if qqk:
+        qs = jnp.maximum(jnp.max(jnp.abs(q)), 1e-8) / 127.0
+        ks = jnp.maximum(jnp.max(jnp.abs(k)), 1e-8) / 127.0
+        q8 = jnp.clip(jnp.round(q / qs), -127.0, 127.0).astype(jnp.int8)
+        k8 = jnp.clip(jnp.round(k / ks), -127.0, 127.0).astype(jnp.int8)
+    else:
+        qb, kb_ = q.astype(cd), k.astype(cd)
+    if qpv:
+        vs = jnp.maximum(jnp.max(jnp.abs(v)), 1e-8) / 127.0
+        v8 = jnp.clip(jnp.round(v / vs), -127.0, 127.0).astype(jnp.int8)
+    else:
+        vb = v.astype(cd)
+
+    heads = []
+    for h in range(n_heads):
+        if qqk:
+            logits = jax.lax.dot_general(
+                q8[:, h * D:(h + 1) * D], k8[:, h * D:(h + 1) * D],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (qs * ks * attn_scale)
+        else:
+            logits = jax.lax.dot_general(
+                qb[:, h * D:(h + 1) * D], kb_[:, h * D:(h + 1) * D],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            ) * attn_scale
+        logits = logits + kbias
+        row_max = jnp.max(logits, axis=-1, keepdims=True)
+        if zero_attn:
+            row_max = jnp.maximum(row_max, 0.0)
+        p = jnp.exp((logits - row_max).astype(soft_dtype))
+        denom = p.astype(jnp.float32).sum(axis=-1, keepdims=True)
+        if zero_attn:
+            denom = denom + jnp.exp(-row_max)
+        p32 = p.astype(jnp.float32) / denom
+        if qpv:
+            p8 = jnp.round(p32 * 127.0).astype(jnp.int8)  # p in [0,1]
+            heads.append(jax.lax.dot_general(
+                p8, v8[:, h * D:(h + 1) * D], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (vs / 127.0))
+        else:
+            heads.append(jax.lax.dot_general(
+                p32.astype(cd), vb[:, h * D:(h + 1) * D],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+    attn_out = jnp.concatenate(heads, axis=-1)
+
+    y = _qdot(attn_out, wo_ref[...], wos_ref[...]) + bo_ref[...]
+    y = y.astype(out_ref.dtype)
+    if residual:
+        y = y + x[:Tq]
+    out_ref[0] = y
+
+
+def sa_int8x(x, scale, shift, wq, bq, wk, bk, wv, bv, wo, bo,
+             key_padding_mask=None, *, n_heads, static_as=None,
+             qpv=False, qqk=False, zero_attn=True, eps=1e-6, residual=True):
+    B, T, E = x.shape
+    D = E // n_heads
+    attn_scale = 1.0 / (D ** 0.5)
+    Tq_p = _round_up(max(T, 8), 8)
+    Tk_p = _round_up(max(T, KV_PAD), KV_PAD)
+    xp = jnp.pad(x, ((0, 0), (0, Tk_p - T), (0, 0)))
+
+    key_valid = jnp.arange(Tk_p) < T
+    kbias = jnp.where(key_valid[None, :], 0.0, NEG_INF).astype(jnp.float32)
+    kbias = jnp.broadcast_to(kbias, (B, Tk_p))
+    if key_padding_mask is not None:
+        kpm = jnp.pad(key_padding_mask, ((0, 0), (0, Tk_p - T)),
+                      constant_values=True)
+        kbias = jnp.where(kpm, NEG_INF, kbias)
+    kbias = kbias[:, None, :]
+
+    cd = x.dtype
+    row = lambda a: a.astype(jnp.float32).reshape(1, E)
+    (wq8, wqs), (wk8, wks) = quantize_weight(wq), quantize_weight(wk)
+    (wv8, wvs), (wo8, wos) = quantize_weight(wv), quantize_weight(wo)
+
+    batch_spec = pl.BlockSpec((1, Tk_p, E), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, 1, E), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    const2 = pl.BlockSpec((E, E), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    const1 = pl.BlockSpec((1, E), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        batch_spec, vec_spec, vec_spec,
+        pl.BlockSpec((1, 1, Tk_p), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const2, const1, const2, const1, const2, const1, const2, const1,
+        const1, const1, const1, const1,
+    ]
+    inputs = [
+        xp, scale.astype(cd)[:, None], shift.astype(cd)[:, None], kbias,
+        wq8, row(bq), wk8, row(bk), wv8, row(bv), wo8, row(bo),
+        wqs, wks, wvs, wos,
+    ]
+    out = pl.pallas_call(
+        functools.partial(
+            _sa_i8x_kernel, n_heads=n_heads, attn_scale=attn_scale,
+            zero_attn=zero_attn, eps=eps, residual=residual,
+            static_as=static_as, qpv=qpv, qqk=qqk,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Tq_p, E), x.dtype),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, Tq_p, E), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Tk_p * E * (4 * E + 2 * Tq_p),
+            bytes_accessed=2 * B * Tk_p * E * 2 + 4 * E * E * 2,
+            transcendentals=B * n_heads * Tq_p * Tk_p,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(*inputs)
+    return out[:, :T]
+
+
+def int8attn_main():
+    from mixermdm_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    rng = np.random.default_rng(0)
+    B, T, E, H = 40, 299, 1024, 8
+    x = jnp.asarray(rng.standard_normal((B, T, E)) * 0.05, jnp.bfloat16)
+    sc = jnp.asarray(rng.standard_normal((B, E)) * 0.05, jnp.bfloat16)
+    sh = jnp.asarray(rng.standard_normal((B, E)) * 0.05, jnp.bfloat16)
+    ws = [jnp.asarray(rng.standard_normal((E, E)) * 0.02, jnp.float32)
+          for _ in range(4)]
+    bs = [jnp.asarray(rng.standard_normal(E) * 0.02, jnp.float32)
+          for _ in range(4)]
+    wb = sum(zip(ws, bs), ())
+    kpm = jnp.zeros((B, T), bool)
+
+    # Self-calibrated static activation scale (the technique's best case:
+    # the calibration batch IS the measured batch).
+    xn = _ln(x.astype(jnp.float32), 1e-6)
+    xn = xn * (1.0 + sc.astype(jnp.float32)[:, None]) \
+        + sh.astype(jnp.float32)[:, None]
+    static_as = float(jnp.max(jnp.abs(xn))) / 127.0
+
+    ref_bf16 = fused_sa_block(x, sc, sh, *wb, kpm, n_heads=H,
+                              residual=True, quant=False)
+    ref_q8 = fused_sa_block(x, sc, sh, *wb, kpm, n_heads=H,
+                            residual=True, quant=True)
+
+    def rel(a, b):
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+        return float(jnp.linalg.norm(a - b) / (jnp.linalg.norm(b) + 1e-12))
+
+    Tp = _round_up(T, 8)
+    proj = 8 * B * Tp * E * E
+    attn = 4 * B * Tp * Tp * E
+
+    base = timeit(chain(lambda h: h), x)
+    print(f"--- int8 levers (B={B} T={T} E={E}; dev = rel-L2 vs bf16; "
+          f"shipped w8a8 dev = {rel(ref_q8, ref_bf16):.4f}) ---")
+    print(f"overhead {base * 1e3:7.3f} ms/iter (subtracted)")
+
+    variants = [
+        ("shipped w8a8", dict(), True),
+        ("static act scale", dict(static_as=static_as), False),
+        ("int8 p@v", dict(qpv=True), False),
+        ("int8 q@k + p@v", dict(qpv=True, qqk=True), False),
+        ("static + int8 attn", dict(static_as=static_as, qpv=True, qqk=True),
+         False),
+    ]
+    for name, kw, shipped in variants:
+        if shipped:
+            fn = chain(lambda h, sc, sh: fused_sa_block(
+                h, sc, sh, *wb, kpm, n_heads=H, residual=True, quant=True))
+            out = ref_q8
+        else:
+            fn = chain(functools.partial(
+                lambda h, sc, sh, kw: sa_int8x(
+                    h, sc, sh, *wb, kpm, n_heads=H, **kw), kw=kw))
+            out = sa_int8x(x, sc, sh, *wb, kpm, n_heads=H, **kw)
+        # int8 SoL: projections at INT8_PEAK; attention at INT8_PEAK only
+        # for the quantised matmuls, else BF16_PEAK.
+        a_peak_qk = INT8_PEAK if kw.get("qqk") else BF16_PEAK
+        a_peak_pv = INT8_PEAK if kw.get("qpv") else BF16_PEAK
+        sol = (proj / INT8_PEAK + attn / 2 / a_peak_qk + attn / 2 / a_peak_pv)
+        dt = max(timeit(fn, x, sc, sh) - base, 1e-9)
+        print(f"{name:20s} {dt * 1e3:7.3f} ms  ({100 * sol / dt:4.1f}% of "
+              f"int8 SoL)  dev={rel(out, ref_bf16):.4f}")
 
 
 if __name__ == "__main__":
