@@ -88,7 +88,9 @@ def estimate_chain_flops(system, B: int, T: int, split: bool = False):
     """
     from mixermdm_tpu.models import layers as _layers
 
-    quant_on = bool(getattr(system, "quant_frozen", False)) and _layers._W8A8
+    # quant_frozen alone decides: the sample path enters w8a8_scope(...) at
+    # trace time (the _W8A8 global is only True INSIDE that trace).
+    quant_on = bool(getattr(system, "quant_frozen", False))
     gate = _layers._W8A8_MIN_DIM
     acc = {"int8": 0.0, "bf16": 0.0}
 

@@ -848,10 +848,13 @@ def int8attn_main():
     proj = 8 * B * Tp * E * E
     attn = 4 * B * Tp * Tp * E
 
-    base = timeit(chain(lambda h: h), x)
+    # RAW per-iteration times (no null-chain subtraction): the null chain's
+    # normalisation sometimes fails to fuse and measures ~0.15 ms/iter that
+    # does NOT exist inside the variant chains, which understated every
+    # variant by that amount in the first run of this experiment.  Deltas
+    # between rows are the signal either way.
     print(f"--- int8 levers (B={B} T={T} E={E}; dev = rel-L2 vs bf16; "
           f"shipped w8a8 dev = {rel(ref_q8, ref_bf16):.4f}) ---")
-    print(f"overhead {base * 1e3:7.3f} ms/iter (subtracted)")
 
     variants = [
         ("shipped w8a8", dict(), True),
@@ -876,7 +879,7 @@ def int8attn_main():
         a_peak_qk = INT8_PEAK if kw.get("qqk") else BF16_PEAK
         a_peak_pv = INT8_PEAK if kw.get("qpv") else BF16_PEAK
         sol = (proj / INT8_PEAK + attn / 2 / a_peak_qk + attn / 2 / a_peak_pv)
-        dt = max(timeit(fn, x, sc, sh) - base, 1e-9)
+        dt = timeit(fn, x, sc, sh)
         print(f"{name:20s} {dt * 1e3:7.3f} ms  ({100 * sol / dt:4.1f}% of "
               f"int8 SoL)  dev={rel(out, ref_bf16):.4f}")
 
