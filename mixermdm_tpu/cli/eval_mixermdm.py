@@ -75,6 +75,15 @@ def main(argv=None):
                              "splitter, 'identity' = force both persons to "
                              "the interaction caption, 'none' = use the "
                              "dataset's individual texts (default)")
+    parser.add_argument("--sampler", type=str, default=None,
+                        choices=("ddim", "dpmpp"),
+                        help="override the generation sampler (protocol "
+                             "default: the model config's ddim50). "
+                             "NON-PROTOCOL — for dryruns/sampler studies; "
+                             "results are not comparable to the reference")
+    parser.add_argument("--sample-steps", type=int, default=None,
+                        help="respace the generation chain to N model "
+                             "calls (NON-PROTOCOL, see --sampler)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-data-parallel", action="store_true",
                         help="disable sharding generation over the device mesh")
@@ -133,6 +142,12 @@ def main(argv=None):
         evaluator = InterCLIP()
 
     system = build_system(args.model, tiny=args.tiny)
+    if args.sampler or args.sample_steps:
+        from ..systems import apply_sampler_overrides
+
+        apply_sampler_overrides(system, args.sampler, args.sample_steps)
+        print(f"NON-PROTOCOL sampler override: "
+              f"{system.sampler_type}{system.sample_schedule.num_timesteps}")
     rng = jax.random.PRNGKey(args.seed)
     rng, r1, r2 = jax.random.split(rng, 3)
     params = system.init_params(r1)

@@ -30,6 +30,10 @@ def main(argv=None):
                         help="default: protocol (50)")
     parser.add_argument("--datasets", type=str, default="both")
     parser.add_argument("--out", type=str, default="/tmp/eval_dryrun.json")
+    parser.add_argument("--sample-steps", type=int, default=None,
+                        help="respace the generation chain (NON-PROTOCOL; "
+                             "keeps CPU-mesh proof runs tractable — the "
+                             "per-step sharded program is identical)")
     parser.add_argument("--cpu-mesh", type=int, default=0,
                         help="run on N virtual CPU devices instead of the "
                              "chip: proves the SHARDED generation path of "
@@ -74,6 +78,8 @@ def main(argv=None):
     ]
     if args.mm_num_samples is not None:
         cli += ["--mm-num-samples", str(args.mm_num_samples)]
+    if args.sample_steps:
+        cli += ["--sample-steps", str(args.sample_steps)]
 
     t0 = time.perf_counter()
     eval_main(cli)
