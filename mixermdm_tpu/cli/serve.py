@@ -8,12 +8,15 @@ warm executable — so request latency is pure device time (~1.4 s for 10
 samples at the production window on one v5e chip, BASELINE.md) instead of
 rebuild + retrace + compile.
 
-HTTP API (stdlib ``http.server``).  Single-chip sampling is serialised by a
-batcher thread with CONTINUOUS BATCHING: requests that queue up while the
-chip is busy (or within ``--linger-ms`` of each other) coalesce into one
-compiled-batch dispatch — up to --batch-size rows answered by a single
-chain.  Explicitly seeded requests run solo (bit-reproducible); unseeded
-ones coalesce.
+HTTP API (stdlib ``http.server``, HTTP/1.1 keep-alive).  Sampling is
+serialised by a batcher thread with CONTINUOUS BATCHING: requests that
+queue up while the device is busy (or within ``--linger-ms`` of each other)
+coalesce into one compiled-batch dispatch — up to --batch-size rows
+answered by a single chain.  Explicitly seeded requests run solo
+(bit-reproducible); unseeded ones coalesce.  With several local devices the
+served batch is DATA-PARALLEL: params replicate over a 1-D mesh and each
+dispatch's rows shard across it (``--no-data-parallel`` opts out; the batch
+rounds up to a device-count multiple).
 
     GET  /healthz   -> {"status": "ok", "warm": true, ...}
     POST /generate  -> body {"text_interaction": str,
@@ -163,6 +166,10 @@ def main(argv=None):
                              "latency)")
     parser.add_argument("--sample-steps", type=int, default=None,
                         help="respace the sampling chain to N model calls")
+    parser.add_argument("--no-data-parallel", action="store_true",
+                        help="serve on one device even when several are "
+                             "visible (default: shard the compiled batch "
+                             "over all local devices)")
     args = parser.parse_args(argv)
 
     import jax
@@ -194,6 +201,24 @@ def main(argv=None):
         params = restore_checkpoint(args.checkpoint, params)
 
     B, window = args.batch_size, args.window
+
+    # Data-parallel serving: replicate params over a 1-D device mesh and
+    # shard the compiled batch's rows across it — N chips answer one
+    # coalesced batch in 1/N the device time (generation has no cross-item
+    # coupling).  The served batch rounds UP to a multiple of the device
+    # count so every dispatch shards cleanly.
+    mesh = None
+    if len(jax.devices()) > 1 and not args.no_data_parallel:
+        from ..parallel.mesh import data_sharded, make_mesh, replicate
+
+        mesh = make_mesh()
+        ndev = mesh.devices.size
+        if B % ndev:
+            B = -(-B // ndev) * ndev
+            print(f"batch-size rounded up to {B} ({ndev} devices)")
+        params = replicate(params, mesh)
+        print(f"data-parallel serving over {ndev} devices")
+
     state = {"warm": False, "requests": 0}
 
     def generate(rows: list, seed: int):
@@ -208,6 +233,8 @@ def main(argv=None):
                       "text_individual2")
         }
         cond = system.generate_cond(params, batch)
+        if mesh is not None:
+            cond = jax.device_put(cond, data_sharded(mesh))
         out = system.sample(params, cond, window,
                             jax.random.PRNGKey(seed))
         return np.asarray(out[:n], np.float32)

@@ -504,6 +504,82 @@ class TestServe:
                 proc.kill()
                 proc.wait(timeout=30)
 
+    def test_serve_data_parallel_mesh(self):
+        """Data-parallel serving: on a 4-virtual-device CPU mesh the server
+        rounds the compiled batch up to the device count, shards each
+        dispatch's rows over the mesh, and answers correctly."""
+        import base64
+        import io
+        import json
+        import socket
+        import subprocess
+        import sys
+        import time
+        import urllib.error
+        import urllib.request
+
+        import numpy as np
+
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+
+        root = os.path.join(os.path.dirname(__file__), "..")
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # stay off the real chip
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=4")
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "mixermdm_tpu", "serve", "--tiny",
+             "--platform", "cpu", "--port", str(port)],
+            cwd=root, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        base = f"http://127.0.0.1:{port}"
+        try:
+            deadline = time.time() + 600
+            health = None
+            while time.time() < deadline:
+                if proc.poll() is not None:
+                    raise AssertionError(
+                        f"server died rc={proc.returncode}:\n"
+                        + proc.stdout.read())
+                try:
+                    with urllib.request.urlopen(base + "/healthz", timeout=5) as r:
+                        health = json.load(r)
+                    if health.get("warm"):
+                        break
+                except (urllib.error.URLError, ConnectionError, OSError):
+                    pass
+                time.sleep(2.0)
+            assert health and health["warm"], f"server never warmed: {health}"
+            # tiny clamps the batch to 2; the 4-device mesh rounds up to 4
+            assert health["batch_size"] == 4
+
+            body = json.dumps({
+                "text_interaction": "two people bow",
+                "text_individual1": "a person bows",
+                "text_individual2": "a person bows back",
+                "num_samples": 3,
+                "seed": 5,
+            }).encode()
+            req = urllib.request.Request(
+                base + "/generate", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                resp = json.load(r)
+            assert resp["shape"] == [3, 16, 524]
+            motion = np.load(io.BytesIO(base64.b64decode(resp["motion_npy_b64"])))
+            assert np.isfinite(motion).all()
+        finally:
+            proc.terminate()
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait(timeout=30)
+
     def test_serve_continuous_batching_coalesces(self):
         """Two concurrent unseeded requests inside the linger window answer
         from ONE device dispatch (healthz 'batches' counts dispatches)."""
