@@ -59,8 +59,12 @@ def main(argv=None):
     parser.add_argument("--model", type=str, default=None, help="model config yaml")
     parser.add_argument("--name", type=str, required=True, help="output name")
     parser.add_argument("--text-interaction", type=str, required=True)
-    parser.add_argument("--text-individual1", type=str, required=True)
-    parser.add_argument("--text-individual2", type=str, required=True)
+    # The reference CLI requires all three prompts; when the individual
+    # prompts are omitted here they are derived from the interaction text by
+    # the offline linguistic decomposer (eval/decompose.py — the same job
+    # the reference delegates to gpt-4o-mini in its eval pipeline).
+    parser.add_argument("--text-individual1", type=str, default=None)
+    parser.add_argument("--text-individual2", type=str, default=None)
     parser.add_argument("--num-samples", type=int, default=10)
     parser.add_argument("--window", type=int, default=299)
     parser.add_argument("--out-dir", type=str, default="results")
@@ -132,10 +136,18 @@ def main(argv=None):
 
     B = args.num_samples
     window = args.window if not args.tiny else 16
+    t1, t2 = args.text_individual1, args.text_individual2
+    if t1 is None or t2 is None:
+        from ..eval.decompose import decompose_interaction_text
+
+        d1, d2 = decompose_interaction_text(args.text_interaction)
+        t1 = d1 if t1 is None else t1
+        t2 = d2 if t2 is None else t2
+        print(f"decomposed individual prompts:\n  1: {t1}\n  2: {t2}")
     batch = {
         "text_interaction": [args.text_interaction] * B,
-        "text_individual1": [args.text_individual1] * B,
-        "text_individual2": [args.text_individual2] * B,
+        "text_individual1": [t1] * B,
+        "text_individual2": [t2] * B,
         "motion_lens": np.asarray([window] * B),
     }
 

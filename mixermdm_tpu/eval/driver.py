@@ -179,11 +179,14 @@ def run_side(system, params, gt_dataset, wrapper, protocol, *, individual,
 
         mm_val = None
         if mm_num_samples > 0:
+            _t0 = _time.perf_counter()
             mm_set = MMGeneratedDataset(
                 system, params, gt_dataset, mm_rng,
                 mm_num_samples=mm_num_samples, mm_num_repeats=mm_num_repeats,
                 max_frames=max_frames, mesh=mesh,
             )
+            print(f"mm generation: {_time.perf_counter() - _t0:.1f}s "
+                  f"({mm_num_samples}x{mm_num_repeats} items)")
             # times must stay below the replica count (metrics.py sampling);
             # only relevant for down-scaled --tiny runs (protocol: 15 > 5).
             mm_times = min(protocol.mm_num_times, mm_num_repeats - 1)
