@@ -426,9 +426,12 @@ class TestServe:
         root = os.path.join(os.path.dirname(__file__), "..")
         env = dict(os.environ)
         env.pop("PALLAS_AXON_POOL_IPS", None)  # stay off the real chip
+        # --no-data-parallel pins the single-device contract (batch stays
+        # 2) even when the suite exposes 8 virtual CPU devices; the mesh
+        # behaviour has its own test below.
         proc = subprocess.Popen(
             [sys.executable, "-m", "mixermdm_tpu", "serve", "--tiny",
-             "--platform", "cpu", "--port", str(port)],
+             "--platform", "cpu", "--port", str(port), "--no-data-parallel"],
             cwd=root, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
