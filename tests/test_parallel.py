@@ -4,6 +4,7 @@ import functools
 import os
 import subprocess
 import sys
+import tempfile
 
 import numpy as np
 import jax
@@ -24,18 +25,57 @@ from mixermdm_tpu.parallel.mesh import (
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _child_env(slug: str) -> dict:
+    env = dict(os.environ, _MESH_TEST_ISOLATED="1")
+    # Keep the child off the real TPU chip (the axon plugin
+    # self-registers at startup when this is set; conftest would win
+    # anyway via jax.config, but registration alone opens the tunnel).
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    # HERMETIC persistent-cache namespace: each isolated child owns a
+    # private cache dir (keyed by nodeid+arm, persistent across suite runs
+    # so child compiles stay warm).  Children must never share the
+    # parent pytest process's .jax_cache/cpu — two CPU-JAX processes
+    # touching one cache dir has produced corrupted entries that
+    # SIGABRT the reader during deserialization (ROUND3.md).
+    env["MIXERMDM_JAX_CACHE"] = os.path.join(
+        _REPO_ROOT, ".jax_cache", "isolated", slug)
+    return env
+
+
+def _run_isolated_child(nodeid: str, env: dict) -> None:
+    for _attempt in range(3):
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "-x", "-q",
+             "-p", "no:cacheprovider", nodeid],
+            cwd=_REPO_ROOT, env=env, capture_output=True, text=True,
+            timeout=1800,
+        )
+        if proc.returncode >= 0:
+            break
+        # A negative code is a signal death — the known intermittent
+        # XLA:CPU in-process rendezvous abort (likelier on cold
+        # compiles), not a test assertion; retry (up to twice) with the
+        # now-warm private compilation cache.  Real failures exit
+        # positive and are never retried.
+    assert proc.returncode == 0, (
+        f"isolated test {nodeid} failed (rc={proc.returncode})\n"
+        f"--- stdout ---\n{proc.stdout}\n--- stderr ---\n{proc.stderr}"
+    )
+
+
 def isolated(fn):
     """Run the test body in a fresh subprocess.
 
-    XLA:CPU's in-process collective rendezvous is flaky when one process
-    executes programs over SEVERAL different virtual-device meshes (the
-    dp-vs-tp equivalence tests run a 1-D mesh program and a 4x2 program
-    back to back, after the rest of the suite has already run other mesh
-    programs): even with the sequential thunk schedule
-    (tests/conftest.py) the suite intermittently deadlock-aborts.  A child
-    pytest process gives each such test a clean backend — which is also
-    exactly how the driver runs ``dryrun_multichip``.  TPU runs never use
-    the virtual-device code path.
+    XLA:CPU's in-process collective rendezvous is unreliable when one
+    process runs many different multi-device programs (the suite builds
+    dozens of meshes): even with the sequential thunk schedule
+    (tests/conftest.py) it has intermittently deadlock-aborted.  A child
+    pytest process gives each heavy mesh test a clean backend — which is
+    also exactly how the driver runs ``dryrun_multichip``.  TPU runs never
+    use the virtual-device code path.
+
+    Tests that compare results across TWO meshes must use
+    :func:`isolated_arms` instead — one mesh per process.
     """
 
     @functools.wraps(fn)
@@ -44,40 +84,73 @@ def isolated(fn):
             return fn(*args, **kwargs)
         qual = fn.__qualname__.replace(".", "::")
         nodeid = f"tests/test_parallel.py::{qual}"
-        env = dict(os.environ, _MESH_TEST_ISOLATED="1")
-        # Keep the child off the real TPU chip (the axon plugin
-        # self-registers at startup when this is set; conftest would win
-        # anyway via jax.config, but registration alone opens the tunnel).
-        env.pop("PALLAS_AXON_POOL_IPS", None)
-        # HERMETIC persistent-cache namespace: each isolated test owns a
-        # private cache dir (keyed by nodeid, persistent across suite runs
-        # so child compiles stay warm).  Children must never share the
-        # parent pytest process's .jax_cache/cpu — two CPU-JAX processes
-        # touching one cache dir has produced corrupted entries that
-        # SIGABRT the reader during deserialization (ROUND3.md).
         slug = qual.replace(":", "_").replace("/", "_")
-        env["MIXERMDM_JAX_CACHE"] = os.path.join(
-            _REPO_ROOT, ".jax_cache", "isolated", slug)
-        for _attempt in range(3):
-            proc = subprocess.run(
-                [sys.executable, "-m", "pytest", "-x", "-q",
-                 "-p", "no:cacheprovider", nodeid],
-                cwd=_REPO_ROOT, env=env, capture_output=True, text=True,
-                timeout=1800,
-            )
-            if proc.returncode >= 0:
-                break
-            # A negative code is a signal death — the known intermittent
-            # XLA:CPU in-process rendezvous abort (likelier on cold
-            # compiles), not a test assertion; retry (up to twice) with the
-            # now-warm private compilation cache.  Real failures exit
-            # positive and are never retried.
-        assert proc.returncode == 0, (
-            f"isolated test {nodeid} failed (rc={proc.returncode})\n"
-            f"--- stdout ---\n{proc.stdout}\n--- stderr ---\n{proc.stderr}"
-        )
+        _run_isolated_child(nodeid, _child_env(slug))
 
     return wrapper
+
+
+_ARM_ENV = "_MESH_ARM"
+_ARM_DIR_ENV = "_MESH_ARM_DIR"
+
+
+def arm_mode() -> str | None:
+    """Which arm this process computes; None = parent compare phase."""
+    return os.environ.get(_ARM_ENV)
+
+
+def save_arm(**arrays) -> None:
+    np.savez(os.path.join(os.environ[_ARM_DIR_ENV],
+                          f"{os.environ[_ARM_ENV]}.npz"), **arrays)
+
+
+def load_arm(arm: str):
+    return np.load(os.path.join(os.environ[_ARM_DIR_ENV], f"{arm}.npz"))
+
+
+def isolated_arms(*arms: str):
+    """ONE MESH PER PROCESS: run the test body once per arm, each in its
+    own child process, then once in the parent to compare saved arrays.
+
+    The flaky failure mode ``isolated`` alone did not cure
+    (test_tp_training_step_matches_dp SIGABRT under full-suite load,
+    VERDICT r3 weak #1): a dp-vs-tp equivalence body builds a 1-D mesh,
+    dispatches its (async) programs, then builds a 4x2 mesh and dispatches
+    a DIFFERENT multi-device program while the first may still be in
+    flight — two concurrent collective cliques over the same 8 virtual CPU
+    devices, and XLA:CPU's in-process rendezvous aborts.  Splitting the
+    arms into separate processes removes the hazard class instead of
+    retrying around it.
+
+    Protocol: the body calls :func:`arm_mode` — in a child it returns the
+    arm name (compute that arm, ``save_arm(**arrays)``); in the parent it
+    returns None (``load_arm(name)`` the results and assert; numpy only,
+    no device programs).
+    """
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            if os.environ.get("_MESH_TEST_ISOLATED") == "1":
+                return fn(*args, **kwargs)
+            qual = fn.__qualname__.replace(".", "::")
+            nodeid = f"tests/test_parallel.py::{qual}"
+            slug = qual.replace(":", "_").replace("/", "_")
+            with tempfile.TemporaryDirectory(prefix="mesh_arms_") as td:
+                for arm in arms:
+                    env = _child_env(f"{slug}.{arm}")
+                    env[_ARM_ENV] = arm
+                    env[_ARM_DIR_ENV] = td
+                    _run_isolated_child(nodeid, env)
+                os.environ[_ARM_DIR_ENV] = td
+                try:
+                    return fn(*args, **kwargs)
+                finally:
+                    os.environ.pop(_ARM_DIR_ENV, None)
+
+        return wrapper
+
+    return deco
 
 
 @pytest.fixture(scope="module")
@@ -137,31 +210,37 @@ class TestTensorParallel:
                         jax.tree_util.DictKey("kernel")], odd, 2) \
             == jax.sharding.PartitionSpec()
 
-    @isolated
+    @isolated_arms("dp", "tp")
     def test_tp_training_step_matches_dp(self):
-        from mixermdm_tpu.train.trainer import MixerTrainer
-        import __graft_entry__ as ge
+        arm = arm_mode()
+        if arm is not None:
+            from mixermdm_tpu.train.trainer import MixerTrainer
+            import __graft_entry__ as ge
 
-        system = ge._tiny_system()
-        params = system.init_params(jax.random.PRNGKey(0))
-
-        def run(mesh, tp):
+            system = ge._tiny_system()
+            params = system.init_params(jax.random.PRNGKey(0))
+            mesh = make_mesh(8) if arm == "dp" else make_mesh_2d(4, 2)
             trainer = MixerTrainer(system, grad_acc_steps=1, mesh=mesh)
-            p = tp_shard_params(params, mesh) if tp else replicate(params, mesh)
+            p = (replicate(params, mesh) if arm == "dp"
+                 else tp_shard_params(params, mesh))
             state = trainer.init_state(p)
             state, g, d = trainer.fit_step(
                 state, self._batch(system, mesh), jax.random.PRNGKey(1),
                 batch_idx=0,
             )
-            return g, d, state
+            leaves = jax.tree_util.tree_leaves(state.params)
+            save_arm(g_total=np.asarray(g["total"]),
+                     d_total=np.asarray(d["total"]),
+                     **{f"p{i}": np.asarray(l) for i, l in enumerate(leaves)})
+            return
 
-        g1, d1, s1 = run(make_mesh(8), tp=False)
-        g2, d2, s2 = run(make_mesh_2d(4, 2), tp=True)
-        assert float(g1["total"]) == float(g2["total"])
-        assert float(d1["total"]) == float(d2["total"])
-        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
-                        jax.tree_util.tree_leaves(s2.params)):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        a, b = load_arm("dp"), load_arm("tp")
+        assert float(a["g_total"]) == float(b["g_total"])
+        assert float(a["d_total"]) == float(b["d_total"])
+        n = sum(1 for k in a.files if k.startswith("p"))
+        assert n == sum(1 for k in b.files if k.startswith("p"))
+        for i in range(n):
+            np.testing.assert_array_equal(a[f"p{i}"], b[f"p{i}"])
 
     def test_tp_params_actually_sharded(self):
         import __graft_entry__ as ge
@@ -176,25 +255,27 @@ class TestTensorParallel:
         assert {s.data.shape for s in qkv.addressable_shards} \
             == {(qkv.shape[0], qkv.shape[1], qkv.shape[2] // 2)}
 
-    @isolated
+    @isolated_arms("dp", "tp")
     def test_tp_sampling_matches_dp(self):
-        from tests.test_systems import tiny_mixer
+        arm = arm_mode()
+        if arm is not None:
+            from tests.test_systems import tiny_mixer
 
-        sys_ = tiny_mixer()
-        params = sys_.init_params(jax.random.PRNGKey(0))
-        B, T = 8, 12
-        cond = np.random.default_rng(1).standard_normal(
-            (B, 8 * sys_.text_dim)).astype(np.float32)
+            sys_ = tiny_mixer()
+            params = sys_.init_params(jax.random.PRNGKey(0))
+            B, T = 8, 12
+            cond = np.random.default_rng(1).standard_normal(
+                (B, 8 * sys_.text_dim)).astype(np.float32)
+            mesh = make_mesh(8) if arm == "dp" else make_mesh_2d(4, 2)
+            p = (replicate(params, mesh) if arm == "dp"
+                 else tp_shard_params(params, mesh))
+            out = sys_.sample(p, shard_batch({"c": cond}, mesh)["c"],
+                              T, jax.random.PRNGKey(2))
+            save_arm(out=np.asarray(out))
+            return
 
-        mesh1 = make_mesh(8)
-        out1 = sys_.sample(replicate(params, mesh1),
-                           shard_batch({"c": cond}, mesh1)["c"],
-                           T, jax.random.PRNGKey(2))
-        mesh2 = make_mesh_2d(4, 2)
-        out2 = sys_.sample(tp_shard_params(params, mesh2),
-                           shard_batch({"c": cond}, mesh2)["c"],
-                           T, jax.random.PRNGKey(2))
-        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+        np.testing.assert_array_equal(load_arm("dp")["out"],
+                                      load_arm("tp")["out"])
 
 
 class TestSequenceParallel:
@@ -204,18 +285,19 @@ class TestSequenceParallel:
 
     _batch = None  # bound below (after TestTensorParallel defines it)
 
-    @isolated
+    @isolated_arms("dp", "tp_sp")
     def test_tp_sp_training_step_matches_dp(self):
-        from mixermdm_tpu.models.layers import set_sequence_parallel
-        from mixermdm_tpu.train.trainer import MixerTrainer
-        import __graft_entry__ as ge
+        arm = arm_mode()
+        if arm is not None:
+            from mixermdm_tpu.models.layers import set_sequence_parallel
+            from mixermdm_tpu.train.trainer import MixerTrainer
+            import __graft_entry__ as ge
 
-        system = ge._tiny_system()
-        params = system.init_params(jax.random.PRNGKey(0))
-
-        def run(mesh, tp_sp):
+            system = ge._tiny_system()
+            params = system.init_params(jax.random.PRNGKey(0))
+            mesh = make_mesh(8) if arm == "dp" else make_mesh_2d(4, 2)
             trainer = MixerTrainer(system, grad_acc_steps=1, mesh=mesh)
-            if tp_sp:
+            if arm == "tp_sp":
                 set_sequence_parallel(mesh)
                 p = tp_shard_params(params, mesh)
             else:
@@ -226,45 +308,50 @@ class TestSequenceParallel:
                     state, self._batch(system, mesh), jax.random.PRNGKey(1),
                     batch_idx=0,
                 )
-                return g, d
             finally:
                 set_sequence_parallel(None)
+            save_arm(g_total=np.asarray(g["total"]),
+                     d_total=np.asarray(d["total"]))
+            return
 
-        g1, d1 = run(make_mesh(8), tp_sp=False)
-        g2, d2 = run(make_mesh_2d(4, 2), tp_sp=True)
-        np.testing.assert_allclose(float(g1["total"]), float(g2["total"]),
+        a, b = load_arm("dp"), load_arm("tp_sp")
+        np.testing.assert_allclose(float(a["g_total"]), float(b["g_total"]),
                                    rtol=1e-6)
-        np.testing.assert_allclose(float(d1["total"]), float(d2["total"]),
+        np.testing.assert_allclose(float(a["d_total"]), float(b["d_total"]),
                                    rtol=1e-6)
 
-    @isolated
+    @isolated_arms("dp", "tp_sp")
     def test_tp_sp_sampling_matches_dp(self):
-        from mixermdm_tpu.models.layers import set_sequence_parallel
-        from tests.test_systems import tiny_mixer
+        # Arms in separate processes also guarantee fresh jit traces: the
+        # SP constraints are recorded at TRACE time, so reusing one
+        # system's cached trace would silently replay the constraint-free
+        # program.
+        arm = arm_mode()
+        if arm is not None:
+            from mixermdm_tpu.models.layers import set_sequence_parallel
+            from tests.test_systems import tiny_mixer
 
-        sys_ = tiny_mixer()
-        params = sys_.init_params(jax.random.PRNGKey(0))
-        B, T = 8, 12
-        cond = np.random.default_rng(1).standard_normal(
-            (B, 8 * sys_.text_dim)).astype(np.float32)
+            sys_ = tiny_mixer()
+            params = sys_.init_params(jax.random.PRNGKey(0))
+            B, T = 8, 12
+            cond = np.random.default_rng(1).standard_normal(
+                (B, 8 * sys_.text_dim)).astype(np.float32)
+            mesh = make_mesh(8) if arm == "dp" else make_mesh_2d(4, 2)
+            if arm == "tp_sp":
+                set_sequence_parallel(mesh)
+                p = tp_shard_params(params, mesh)
+            else:
+                p = replicate(params, mesh)
+            try:
+                out = sys_.sample(p, shard_batch({"c": cond}, mesh)["c"],
+                                  T, jax.random.PRNGKey(2))
+            finally:
+                set_sequence_parallel(None)
+            save_arm(out=np.asarray(out))
+            return
 
-        mesh1 = make_mesh(8)
-        out1 = sys_.sample(replicate(params, mesh1),
-                           shard_batch({"c": cond}, mesh1)["c"],
-                           T, jax.random.PRNGKey(2))
-        # Fresh system: jit traces are cached per shape, and the SP
-        # constraints are recorded at TRACE time — reusing sys_ would
-        # silently replay the constraint-free trace.
-        sys_sp = tiny_mixer()
-        mesh2 = make_mesh_2d(4, 2)
-        set_sequence_parallel(mesh2)
-        try:
-            out2 = sys_sp.sample(tp_shard_params(params, mesh2),
-                                 shard_batch({"c": cond}, mesh2)["c"],
-                                 T, jax.random.PRNGKey(2))
-        finally:
-            set_sequence_parallel(None)
-        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+        np.testing.assert_allclose(load_arm("dp")["out"],
+                                   load_arm("tp_sp")["out"],
                                    rtol=1e-5, atol=1e-6)
 
 
@@ -318,7 +405,11 @@ class TestFSDP:
                 state, self._batch(system, mesh), jax.random.PRNGKey(1),
                 batch_idx=0,
             )
-            return g, d, state
+            # Drain before the next arm dispatches: two multi-device
+            # program sets in flight at once is the rendezvous hazard
+            # isolated_arms() exists for (here both arms share one mesh,
+            # so draining suffices).
+            return jax.block_until_ready((g, d, state))
 
         g1, d1, s1 = run(fsdp=False)
         g2, d2, s2 = run(fsdp=True)
