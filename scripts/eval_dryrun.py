@@ -46,6 +46,15 @@ def main(argv=None):
         flag = f"--xla_force_host_platform_device_count={args.cpu_mesh}"
         if flag not in os.environ.get("XLA_FLAGS", ""):
             os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " " + flag
+        for flag in (
+            # Raise XLA:CPU's in-process collective watchdog (default ~30 s
+            # to LOG(FATAL)): full-size sharded generation legitimately
+            # holds collectives open for minutes on CPU (tests/conftest.py).
+            "--xla_cpu_collective_call_warn_stuck_timeout_seconds=120",
+            "--xla_cpu_collective_call_terminate_timeout_seconds=1500",
+        ):
+            if flag.split("=")[0] not in os.environ.get("XLA_FLAGS", ""):
+                os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " " + flag
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax

@@ -44,8 +44,13 @@ def _child_env(slug: str) -> dict:
 
 def _run_isolated_child(nodeid: str, env: dict) -> None:
     for _attempt in range(3):
+        # -s: a SIGABRT inside the child never flushes pytest's capture
+        # buffers, which is why earlier failures showed an empty
+        # "Fatal Python error:" and nothing else — uncaptured, the C++
+        # fatal message (e.g. the XLA:CPU collective watchdog's) reaches
+        # our pipe and survives the crash.
         proc = subprocess.run(
-            [sys.executable, "-m", "pytest", "-x", "-q",
+            [sys.executable, "-m", "pytest", "-x", "-q", "-s",
              "-p", "no:cacheprovider", nodeid],
             cwd=_REPO_ROOT, env=env, capture_output=True, text=True,
             timeout=1800,
@@ -54,9 +59,14 @@ def _run_isolated_child(nodeid: str, env: dict) -> None:
             break
         # A negative code is a signal death — the known intermittent
         # XLA:CPU in-process rendezvous abort (likelier on cold
-        # compiles), not a test assertion; retry (up to twice) with the
-        # now-warm private compilation cache.  Real failures exit
-        # positive and are never retried.
+        # compiles), not a test assertion; retry (up to twice).  A child
+        # killed mid-cache-write can leave a corrupted persistent-cache
+        # entry that SIGABRTs every later reader during deserialization
+        # (ROUND3.md), so drop the child's private cache before retrying
+        # — the retry recompiles cold rather than re-reading poison.
+        import shutil
+
+        shutil.rmtree(env.get("MIXERMDM_JAX_CACHE", ""), ignore_errors=True)
     assert proc.returncode == 0, (
         f"isolated test {nodeid} failed (rc={proc.returncode})\n"
         f"--- stdout ---\n{proc.stdout}\n--- stderr ---\n{proc.stderr}"
