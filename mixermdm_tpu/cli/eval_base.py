@@ -196,7 +196,7 @@ def main(argv=None):
         if len(dataset) == 0:
             raise SystemExit(f"no test data under {args.data_root}")
         metrics = run_side(
-            system, params, dataset, EvaluatorWrapper(evaluator, eval_params),
+            system, params, dataset, EvaluatorWrapper(evaluator, eval_params, mesh=mesh),
             protocol, individual=False, batch_size=batch_size, **side_kw,
         )
         summary["interhuman"] = summarize_metrics(metrics, replications)
@@ -218,7 +218,8 @@ def main(argv=None):
             raise SystemExit(f"no HumanML3D test data under {args.hml3d_root}")
         metrics = run_side(
             system, params, hml,
-            EvaluatorWrapperIndividual(evaluator_ind, eval_ind_params),
+            EvaluatorWrapperIndividual(evaluator_ind, eval_ind_params,
+                                       mesh=mesh),
             protocol, individual=two_person,
             batch_size=protocol.batch_size_hml3d if not args.tiny else batch_size,
             **side_kw,

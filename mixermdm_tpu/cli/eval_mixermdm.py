@@ -156,7 +156,6 @@ def main(argv=None):
     eval_params = evaluator.init_params(r2)
     if args.evaluator_checkpoint:
         eval_params = restore_checkpoint(args.evaluator_checkpoint, eval_params)
-    wrapper = EvaluatorWrapper(evaluator, eval_params)
 
     evaluator_ind = eval_ind_params = None
     if args.datasets in ("both", "hml3d"):
@@ -185,6 +184,10 @@ def main(argv=None):
         mesh = make_mesh()
         params = replicate(params, mesh)
         print(f"data-parallel generation over {mesh.devices.size} devices")
+
+    # Scoring shards over the same mesh as generation: the wrapper pads each
+    # embedding batch to a device multiple and splits rows over "data".
+    wrapper = EvaluatorWrapper(evaluator, eval_params, mesh=mesh)
 
     side_kw = dict(
         num_samples=num_samples, max_frames=max_frames,
@@ -220,7 +223,8 @@ def main(argv=None):
         )
         if len(hml) == 0:
             raise SystemExit(f"no HumanML3D test data under {args.hml3d_root}")
-        ind_wrapper = EvaluatorWrapperIndividual(evaluator_ind, eval_ind_params)
+        ind_wrapper = EvaluatorWrapperIndividual(evaluator_ind, eval_ind_params,
+                                                 mesh=mesh)
         metrics_hml = run_side(
             system, params, hml, ind_wrapper, protocol,
             individual=True,

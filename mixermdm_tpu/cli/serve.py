@@ -48,6 +48,17 @@ import threading
 import time
 
 
+class Overloaded(Exception):
+    """Request shed under overload (mapped to HTTP 429 by the handler).
+
+    ``retry_after_s`` is the server's estimate of when capacity frees up:
+    queued rows / batch capacity x the EMA dispatch time."""
+
+    def __init__(self, msg: str, retry_after_s: float):
+        super().__init__(msg)
+        self.retry_after_s = max(1.0, retry_after_s)
+
+
 class _Batcher:
     """Continuous batching over one compiled sampling program.
 
@@ -64,10 +75,22 @@ class _Batcher:
     traffic); 0 (the default) dispatches immediately.
     """
 
-    def __init__(self, generate_rows, capacity: int, linger_s: float = 0.0):
+    def __init__(self, generate_rows, capacity: int, linger_s: float = 0.0,
+                 max_queue_rows: int = 0, deadline_s: float = 0.0):
         self._generate = generate_rows  # (rows, seed) -> np (len(rows), T, F)
         self.capacity = capacity
         self.linger_s = linger_s
+        # Backpressure (VERDICT r4 #5): without a bound, sustained overload
+        # (offered load > device capacity) grows the queue — and every
+        # accepted request's latency — without limit.  ``max_queue_rows``
+        # caps admission (excess requests shed IMMEDIATELY with a
+        # Retry-After estimate instead of timing out after queueing);
+        # ``deadline_s`` sheds jobs that have waited too long at dispatch
+        # time, so a burst that got admitted cannot serve stale work.
+        self.max_queue_rows = max_queue_rows
+        self.deadline_s = deadline_s
+        self.shed = 0          # requests rejected (full queue or deadline)
+        self.dispatch_ema_s = 0.0
         self._cv = threading.Condition()
         self._queue: list[dict] = []
         self.batches = 0
@@ -76,18 +99,51 @@ class _Batcher:
         )
         self._thread.start()
 
+    def _retry_after(self, queued_rows: int) -> float:
+        per_dispatch = self.dispatch_ema_s or 2.0
+        return (queued_rows / max(1, self.capacity)) * per_dispatch
+
     def submit(self, rows: list, seed):
         """Block until this request's rows are sampled; returns (motion,
-        used_seed).  ``seed=None`` opts into coalescing."""
+        used_seed).  ``seed=None`` opts into coalescing.  Raises
+        :class:`Overloaded` when the queue bound or the deadline sheds it."""
         job = {"rows": rows, "seed": seed, "done": threading.Event(),
-               "result": None, "used_seed": None, "error": None}
+               "result": None, "used_seed": None, "error": None,
+               "t_enq": time.monotonic()}
         with self._cv:
+            if self.max_queue_rows:
+                queued = sum(len(j["rows"]) for j in self._queue)
+                if queued + len(rows) > self.max_queue_rows:
+                    self.shed += 1
+                    raise Overloaded(
+                        f"queue full ({queued}/{self.max_queue_rows} rows)",
+                        self._retry_after(queued),
+                    )
             self._queue.append(job)
             self._cv.notify_all()
         job["done"].wait()
         if job["error"] is not None:
             raise job["error"]
         return job["result"], job["used_seed"]
+
+    def _shed_expired(self) -> None:
+        """Drop queued jobs past their deadline (lock held): serving stale
+        work after an admitted burst only delays every later request."""
+        if not self.deadline_s:
+            return
+        now = time.monotonic()
+        live = []
+        for j in self._queue:
+            if now - j["t_enq"] > self.deadline_s:
+                self.shed += 1
+                j["error"] = Overloaded(
+                    f"deadline exceeded ({self.deadline_s:.0f}s in queue)",
+                    self._retry_after(len(self._queue)),
+                )
+                j["done"].set()
+            else:
+                live.append(j)
+        self._queue[:] = live
 
     def _take_batch(self) -> list[dict]:
         """Pop the next dispatch (head job, plus — if the head is unseeded —
@@ -105,7 +161,10 @@ class _Batcher:
     def _loop(self):
         while True:
             with self._cv:
-                while not self._queue:
+                while True:
+                    self._shed_expired()
+                    if self._queue:
+                        break
                     self._cv.wait()
                 if self.linger_s > 0 and self._queue[0]["seed"] is None:
                     deadline = time.monotonic() + self.linger_s
@@ -113,8 +172,12 @@ class _Batcher:
                            and sum(len(j["rows"]) for j in self._queue
                                    if j["seed"] is None) < self.capacity):
                         self._cv.wait(timeout=deadline - time.monotonic())
+                    self._shed_expired()
+                    if not self._queue:
+                        continue
                 jobs = self._take_batch()
             self.batches += 1
+            t_dispatch = time.monotonic()
             seed = jobs[0]["seed"]
             used = self.batches if seed is None else int(seed)
             rows = [r for j in jobs for r in j["rows"]]
@@ -129,6 +192,9 @@ class _Batcher:
                 for j in jobs:
                     j["error"] = e
             finally:
+                dt = time.monotonic() - t_dispatch
+                self.dispatch_ema_s = (dt if self.dispatch_ema_s == 0.0
+                                       else 0.8 * self.dispatch_ema_s + 0.2 * dt)
                 for j in jobs:
                     j["done"].set()
 
@@ -158,6 +224,13 @@ def main(argv=None):
                         help="hold an idle batch open this long for more "
                              "requests to coalesce (continuous batching of "
                              "burst traffic); 0 dispatches immediately")
+    parser.add_argument("--max-queue-rows", type=int, default=None,
+                        help="admission bound: shed /generate with 429 + "
+                             "Retry-After once this many rows are queued "
+                             "(default 8x the served batch; 0 = unbounded)")
+    parser.add_argument("--deadline-s", type=float, default=60.0,
+                        help="shed queued requests older than this at "
+                             "dispatch time (429; 0 = no deadline)")
     parser.add_argument("--sampler", type=str, default=None,
                         choices=("ddim", "dpmpp"),
                         help="sampling update rule (dpmpp = DPM-Solver++"
@@ -239,7 +312,10 @@ def main(argv=None):
                             jax.random.PRNGKey(seed))
         return np.asarray(out[:n], np.float32)
 
-    batcher = _Batcher(generate, B, linger_s=args.linger_ms / 1e3)
+    max_queue = (8 * B if args.max_queue_rows is None
+                 else max(0, args.max_queue_rows))
+    batcher = _Batcher(generate, B, linger_s=args.linger_ms / 1e3,
+                       max_queue_rows=max_queue, deadline_s=args.deadline_s)
 
     if not args.no_warmup:
         t0 = time.time()
@@ -265,11 +341,13 @@ def main(argv=None):
         def log_message(self, fmt, *a):  # quiet default access log
             pass
 
-        def _send(self, code: int, payload: dict):
+        def _send(self, code: int, payload: dict, headers: dict = None):
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -278,7 +356,8 @@ def main(argv=None):
                 self._send(200, {"status": "ok", "warm": state["warm"],
                                  "batch_size": B, "window": window,
                                  "requests": state["requests"],
-                                 "batches": batcher.batches})
+                                 "batches": batcher.batches,
+                                 "shed": batcher.shed})
             else:
                 self._send(404, {"error": "unknown path"})
 
@@ -312,6 +391,11 @@ def main(argv=None):
                 motion, used_seed = batcher.submit(
                     rows, None if seed is None else int(seed)
                 )
+            except Overloaded as e:  # backpressure: shed, tell when to retry
+                retry = max(1, int(round(e.retry_after_s)))
+                return self._send(429, {"error": f"overloaded: {e}",
+                                        "retry_after_s": retry},
+                                  headers={"Retry-After": str(retry)})
             except Exception as e:  # sampling failure -> 500, keep serving
                 return self._send(500, {"error": f"{type(e).__name__}: {e}"})
             state["warm"] = True

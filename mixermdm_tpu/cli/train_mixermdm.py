@@ -25,6 +25,13 @@ def main(argv=None):
     parser.add_argument("--resume", type=str, default=None)
     parser.add_argument("--tiny", action="store_true", help="tiny synthetic smoke run")
     parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--save-every", type=int, default=None, metavar="E",
+                        help="checkpoint cadence in epochs (overrides the "
+                             "config's TRAIN.SAVE_EPOCH)")
+    parser.add_argument("--log-jsonl", type=str, default=None,
+                        help="append one JSON record per step (losses, "
+                             "influence mean, step wall-time, host RSS) — "
+                             "the endurance-run curve artifact")
     parser.add_argument("--tp", type=int, default=1,
                         help="tensor-parallel degree: shard attention/FFN "
                              "params over a 'model' mesh axis (Megatron), "
@@ -160,7 +167,10 @@ def main(argv=None):
     dataset = InterHumanDataset(args.data_root, mode="train", max_gt_length=max_frames)
     if len(dataset) == 0:
         raise SystemExit(f"no data found under {args.data_root}")
-    loader = DataLoader(dataset, batch_size=batch_size, seed=args.seed)
+    # reseed_dataset: augmentation draws become a pure function of
+    # (seed, epoch) so --resume auto replays the data stream bitwise.
+    loader = DataLoader(dataset, batch_size=batch_size, seed=args.seed,
+                        reseed_dataset=True)
     logger = MetricLogger(log_every=int(tr.LOG_STEPS))
 
     from ..train.checkpoint import save_train_state
@@ -173,6 +183,25 @@ def main(argv=None):
     start_epoch = min(step // max(1, len(loader)), epochs)
     if start_epoch:
         print(f"resume: step {step} -> starting at epoch {start_epoch}/{epochs}")
+        loader.set_epoch(start_epoch)
+
+    save_epoch = args.save_every or int(tr.SAVE_EPOCH)
+    jsonl = open(args.log_jsonl, "a", buffering=1) if args.log_jsonl else None
+
+    def _rss_mb() -> float:
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        return int(line.split()[1]) / 1024.0
+        except OSError:
+            pass
+        return -1.0
+
+    import json
+    import time
+
+    t_prev = time.perf_counter()
     for epoch in range(start_epoch, epochs):
         for batch_idx, batch in enumerate(loader):
             toks = system.tokenize_batch(batch)
@@ -193,12 +222,26 @@ def main(argv=None):
                 "g_total": float(g_losses["total"]),
                 **({"d_total": float(d_losses["total"])} if d_losses else {}),
             })
+            if jsonl is not None:
+                t_now = time.perf_counter()
+                jsonl.write(json.dumps({
+                    "step": step, "epoch": epoch, "batch": batch_idx,
+                    "g_total": float(g_losses["total"]),
+                    "g_i1": float(g_losses.get("generator_i1", float("nan"))),
+                    "g_I": float(g_losses.get("generator_I", float("nan"))),
+                    "influence_mean": float(
+                        g_losses.get("influence_mean", float("nan"))),
+                    "d_total": (float(d_losses["total"]) if d_losses else None),
+                    "dt_s": round(t_now - t_prev, 4),
+                    "rss_mb": round(_rss_mb(), 1),
+                }) + "\n")
+                t_prev = t_now
             step += 1
             if args.max_steps and step >= args.max_steps:
                 break
         if args.max_steps and step >= args.max_steps:
             break
-        if (epoch + 1) % int(tr.SAVE_EPOCH) == 0 or epoch == epochs - 1:
+        if (epoch + 1) % save_epoch == 0 or epoch == epochs - 1:
             save_checkpoint(os.path.join(args.out_dir, f"epoch_{epoch+1}"), state.params)
             save_train_state(os.path.join(args.out_dir, f"epoch_{epoch+1}_state"), state)
 

@@ -57,6 +57,7 @@ class DataLoader:
         prefetch: int = 2,
         transform: Optional[Callable[[dict], dict]] = None,
         num_workers: int = 1,
+        reseed_dataset: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -66,7 +67,20 @@ class DataLoader:
         self.prefetch = prefetch
         self.transform = transform
         self.num_workers = max(1, num_workers)
+        self.reseed_dataset = reseed_dataset
         self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Position the loader at ``epoch`` (elastic resume).
+
+        Both the index shuffle and — when ``reseed_dataset`` draws are in
+        play via :meth:`__iter__` — the dataset's augmentation RNG are pure
+        functions of ``(seed, epoch)``, so a restarted process that calls
+        ``set_epoch(E)`` replays epoch E bitwise identically to the original
+        process that reached it by iterating.  The torch counterpart is
+        ``DistributedSampler.set_epoch`` (reference trainers rely on
+        Lightning to call it)."""
+        self.epoch = int(epoch)
 
     def __len__(self):
         n = len(self.dataset)
@@ -84,6 +98,16 @@ class DataLoader:
         return batches
 
     def __iter__(self) -> Iterator[dict]:
+        if self.reseed_dataset and hasattr(self.dataset, "rng"):
+            # Augmentation draws (text choice / crop / swap) become a pure
+            # function of (seed, epoch, fetch-order): with num_workers == 1
+            # a resumed run that set_epoch()s to a checkpointed epoch replays
+            # the SAME samples bitwise.  Multi-worker runs interleave draws
+            # and keep only index-order determinism (docstring above).
+            import random as _random
+
+            self.dataset.rng = _random.Random((self.seed + 1) * 1_000_003
+                                              + self.epoch)
         batches = self._index_batches()
         self.epoch += 1
 

@@ -388,6 +388,16 @@ def mixer_training_losses(
     w = _hinge_weight(mask, B, T, hinge_mask_mode)
     losses = {}
 
+    # Pure metric, never part of ``total``: mean influence weight over the
+    # valid frames — the curve the reference's wandb harness watches to see
+    # the mixer drift away from its 0.5-ish init (mixermdm.py:803-804 returns
+    # the influence tensors for exactly this purpose).
+    infl1, infl2 = _infl
+    denom = jnp.sum(m) * infl1.shape[-1] + 1e-8
+    losses["influence_mean"] = jax.lax.stop_gradient(
+        (jnp.sum(infl1 * m) + jnp.sum(infl2 * m)) / (2.0 * denom)
+    )
+
     if mode == "generator":
         # Freeze discriminators: gradients flow only into the mixer.
         dpi = jax.lax.stop_gradient(params["disc_i"])

@@ -25,9 +25,24 @@ import numpy as np
 
 
 def default_text_decomposer(interaction_texts: List[str]):
-    """Fallback for the reference's LLM splitter: reuse the interaction text
-    for both persons (what the non-LLM reference path does implicitly)."""
+    """Identity splitter: reuse the interaction text for both persons (what
+    the reference's non-LLM path does implicitly).
+
+    NOTE: this is no longer the default for MISSING individual texts — the
+    measured corpus study (``scripts/decompose_corpus.py``,
+    decompose_corpus.json: heuristic 95% subject accuracy / 86% fire-rate vs
+    identity 12%/0%) wires ``decompose.heuristic_text_decomposer`` as the
+    fallback instead.  This function remains the explicit
+    ``--decompose identity`` choice."""
     return list(interaction_texts), list(interaction_texts)
+
+
+def _fallback_decomposer(interaction_texts: List[str]):
+    """Decomposer used when the dataset carries no individual texts: the
+    measured winner (heuristic clause splitter) — see decompose_corpus.json."""
+    from .decompose import heuristic_text_decomposer
+
+    return heuristic_text_decomposer(interaction_texts)
 
 
 def _sharded_sample(system, params, cond, T, rng, mesh, **kwargs):
@@ -88,7 +103,7 @@ class EvaluationDatasetInterHuman:
                 t1, t2 = decomposer(batch["text"])
                 batch["text_individual1"], batch["text_individual2"] = t1, t2
             elif "text_individual1" not in batch:
-                t1, t2 = default_text_decomposer(batch["text"])
+                t1, t2 = _fallback_decomposer(batch["text"])
                 batch["text_individual1"], batch["text_individual2"] = t1, t2
 
             rng, step = jax.random.split(rng)
@@ -166,7 +181,7 @@ class MMGeneratedDataset:
             s = gt_dataset[int(i)]
             batch = collate([s] * mm_num_repeats)
             if "text_individual1" not in batch:
-                t1, t2 = default_text_decomposer(batch["text"])
+                t1, t2 = _fallback_decomposer(batch["text"])
                 batch["text_individual1"], batch["text_individual2"] = t1, t2
             rng, step = jax.random.split(rng)
             T = int(s["motion_lens"])

@@ -47,13 +47,20 @@ _CONT_SUBJECTS = ("he", "she", "then he", "then she")
 # waves"); clauses only split on "and" when followed by a subject marker
 # (handled by _SUBJECT_AND below).
 _DELIMS = re.compile(
-    r",?\s+(?:and\s+then|then|while|whilst|meanwhile|as|whereupon)\s+|;\s+|\.\s+"
+    r",?\s+(?:and\s+then|then|while|whilst|meanwhile|as|whereupon|before|"
+    r"after)\s+|;\s+|\.\s+"
 )
 _ALL_SUBJECTS = tuple(
     sorted(_P1_SUBJECTS + _P2_SUBJECTS + _BOTH_SUBJECTS, key=len, reverse=True)
 )
 _SUBJECT_AND = re.compile(
     r",?\s+and\s+(?=(?:" + "|".join(re.escape(s) for s in _ALL_SUBJECTS) + r")\b)",
+    re.IGNORECASE,
+)
+# A bare comma also starts a new clause when (and only when) a subject
+# marker follows: "one person swings a bat, the other person ducks".
+_SUBJECT_COMMA = re.compile(
+    r",\s+(?=(?:" + "|".join(re.escape(s) for s in _ALL_SUBJECTS) + r")\b)",
     re.IGNORECASE,
 )
 _WHO = re.compile(r",\s+who\s+")
@@ -103,8 +110,8 @@ def decompose_interaction_text(text: str) -> Tuple[str, str]:
     body = _WHO.sub(". who ", body)
     parts: List[str] = []
     for chunk in _DELIMS.split(body):
-        if chunk:
-            parts.extend(p for p in _SUBJECT_AND.split(chunk) if p)
+        for piece in _SUBJECT_AND.split(chunk) if chunk else ():
+            parts.extend(p for p in _SUBJECT_COMMA.split(piece) if p)
 
     assigned: List[Tuple[str, str]] = []  # (who, predicate)
     last_who = ""

@@ -172,10 +172,14 @@ def run_side(system, params, gt_dataset, wrapper, protocol, *, individual,
         sets = OrderedDict(
             [(model_name, gen_batches), ("ground truth", gt_batches)]
         )
+        _t0 = _time.perf_counter()
         match, rprec, acts = evaluate_matching_score(sets, wrapper, protocol.top_k)
         fid = evaluate_fid(gt_batches, {model_name: acts[model_name]}, wrapper)
         div_times = min(protocol.diversity_times, acts[model_name].shape[0] - 1)
         div = evaluate_diversity(acts, div_times, seed=seed + rep)
+        print(f"scoring: {_time.perf_counter() - _t0:.1f}s "
+              f"(InterCLIP embeddings + metric kernels"
+              f"{f', {wrapper.mesh.devices.size}-device mesh' if getattr(wrapper, 'mesh', None) is not None else ''})")
 
         mm_val = None
         if mm_num_samples > 0:

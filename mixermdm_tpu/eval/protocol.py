@@ -74,17 +74,72 @@ class EvaluatorWrapper:
     The Individual wrapper (utils.py:256-321) never sorts.
     """
 
-    def __init__(self, interclip, params):
+    def __init__(self, interclip, params, mesh=None):
         self.model = interclip
         self.params = params
+        # Sharded scoring (VERDICT r4 #4): the protocol's non-generation
+        # tail is almost entirely InterCLIP embedding passes — per-row
+        # independent, so they data-parallelise exactly like generation.
+        # With a mesh, params replicate and every embedding batch's rows
+        # shard over the "data" axis (padded up to a device multiple, pad
+        # rows dropped on the way out).
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+
+            self.params = replicate(params, mesh)
+            self._n_data = int(mesh.shape.get("data", mesh.devices.size))
+
+    def _encode_motion(self, motions, motion_lens):
+        import jax.numpy as jnp
+
+        if self.mesh is None:
+            return np.asarray(
+                self.model.encode_motion(self.params, motions, motion_lens))
+        from ..parallel.mesh import data_sharded
+
+        import jax
+
+        m = jnp.asarray(motions)
+        lens = jnp.asarray(motion_lens)
+        B = m.shape[0]
+        pad = (-B) % self._n_data
+        if pad:
+            m = jnp.concatenate([m, jnp.repeat(m[-1:], pad, axis=0)], axis=0)
+            lens = jnp.concatenate([lens, jnp.repeat(lens[-1:], pad)], axis=0)
+        sharding = data_sharded(self.mesh)
+        m = jax.device_put(m, sharding)
+        lens = jax.device_put(lens, sharding)
+        emb = self.model.encode_motion(self.params, m, lens)
+        return np.asarray(emb)[:B]
+
+    def _encode_text(self, texts: List[str]):
+        if self.mesh is None:
+            return np.asarray(self.model.encode_text(self.params, texts))
+        import jax
+        import jax.numpy as jnp
+
+        from ..parallel.mesh import data_sharded
+
+        # Tokenise on host (cheap), shard the token batch over the mesh.
+        from .interclip import tokenize as _tok
+
+        toks = jnp.asarray(_tok(texts, self.model.tokenizer))
+        B = toks.shape[0]
+        pad = (-B) % self._n_data
+        if pad:
+            toks = jnp.concatenate(
+                [toks, jnp.repeat(toks[-1:], pad, axis=0)], axis=0)
+        toks = jax.device_put(toks, data_sharded(self.mesh))
+        emb = self.model.encode_text_tokens(self.params, toks)
+        return np.asarray(emb)[:B]
 
     def get_co_embeddings(self, texts: List[str], motions, motion_lens):
-        text_emb = self.model.encode_text(self.params, texts)
-        motion_emb = self.model.encode_motion(self.params, motions, motion_lens)
-        return np.asarray(text_emb), np.asarray(motion_emb)
+        return (self._encode_text(texts),
+                self._encode_motion(motions, motion_lens))
 
     def get_motion_embeddings(self, motions, motion_lens):
-        return np.asarray(self.model.encode_motion(self.params, motions, motion_lens))
+        return self._encode_motion(motions, motion_lens)
 
 
 class EvaluatorWrapperIndividual(EvaluatorWrapper):
@@ -111,13 +166,11 @@ class EvaluatorWrapperIndividual(EvaluatorWrapper):
     def get_co_embeddings(self, texts: List[str], motions, motion_lens):
         persons, lens = self._split_persons(motions, motion_lens)
         # texts interleave per person: [t1_a, t1_b, t2_a, ...]
-        text_emb = self.model.encode_text(self.params, texts)
-        motion_emb = self.model.encode_motion(self.params, persons, lens)
-        return np.asarray(text_emb), np.asarray(motion_emb)
+        return self._encode_text(texts), self._encode_motion(persons, lens)
 
     def get_motion_embeddings(self, motions, motion_lens):
         persons, lens = self._split_persons(motions, motion_lens)
-        return np.asarray(self.model.encode_motion(self.params, persons, lens))
+        return self._encode_motion(persons, lens)
 
 
 def evaluate_matching_score(

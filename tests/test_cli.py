@@ -401,6 +401,80 @@ class TestBatcher:
         out, _ = b.submit([self._row(1)], None)
         assert out.shape == (1, 1)
 
+    def test_queue_bound_sheds_with_retry_after(self):
+        """Backpressure: once max_queue_rows rows wait, submit() raises
+        Overloaded immediately (the 429 path) instead of queueing."""
+        import threading
+        import time
+
+        import numpy as np
+        import pytest
+
+        from mixermdm_tpu.cli.serve import Overloaded, _Batcher
+
+        gate = threading.Event()
+
+        def generate(rows, seed):
+            gate.wait()
+            return np.zeros((len(rows), 1))
+
+        b = _Batcher(generate, capacity=1, max_queue_rows=2)
+        threads = [threading.Thread(target=b.submit,
+                                    args=([self._row(i)], 7 + i))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        # jobs: one in the sampler (gate-held), two queued = bound reached
+        time.sleep(0.3)
+        with pytest.raises(Overloaded, match="queue full") as ei:
+            b.submit([self._row(9)], None)
+        assert ei.value.retry_after_s >= 1.0
+        assert b.shed == 1
+        gate.set()
+        for t in threads:
+            t.join(timeout=30)
+
+    def test_deadline_sheds_stale_jobs_at_dispatch(self):
+        """Jobs older than deadline_s are dropped with Overloaded instead of
+        being served stale; fresh jobs still complete."""
+        import threading
+        import time
+
+        import numpy as np
+
+        from mixermdm_tpu.cli.serve import Overloaded, _Batcher
+
+        gate = threading.Event()
+
+        def generate(rows, seed):
+            gate.wait()
+            return np.zeros((len(rows), 1))
+
+        b = _Batcher(generate, capacity=1, deadline_s=0.2)
+        errs = {}
+
+        def req(i, seed):
+            try:
+                errs[i] = b.submit([self._row(i)], seed)
+            except Overloaded as e:
+                errs[i] = e
+
+        t0 = threading.Thread(target=req, args=(0, 1))
+        t0.start()
+        time.sleep(0.3)           # job 0 is in the sampler, gate-held
+        t1 = threading.Thread(target=req, args=(1, 2))
+        t1.start()                # job 1 queues ...
+        time.sleep(0.5)           # ... and ages past the 0.2 s deadline
+        gate.set()
+        t0.join(timeout=30)
+        t1.join(timeout=30)
+        assert not isinstance(errs[0], Overloaded)   # in-flight: served
+        assert isinstance(errs[1], Overloaded)       # stale: shed
+        assert b.shed == 1
+        # the batcher keeps serving after shedding
+        out, _ = b.submit([self._row(5)], 3)
+        assert out.shape == (1, 1)
+
 
 class TestServe:
     """The warm-compiled HTTP generation server (cli/serve.py)."""
