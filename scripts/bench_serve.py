@@ -47,19 +47,20 @@ class _Client:
 
         self._conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
 
-    def post(self, payload: dict) -> dict:
+    def post(self, payload: dict):
+        """-> (http_status, parsed_json)"""
         body = json.dumps(payload).encode()
         try:
             self._conn.request("POST", "/generate", body,
                                {"Content-Type": "application/json"})
             resp = self._conn.getresponse()
-            return json.loads(resp.read())
+            return resp.status, json.loads(resp.read())
         except Exception:
             self._conn.close()  # reconnect once on a broken keep-alive
             self._conn.request("POST", "/generate", body,
                                {"Content-Type": "application/json"})
             resp = self._conn.getresponse()
-            return json.loads(resp.read())
+            return resp.status, json.loads(resp.read())
 
 
 def start_server(port: int, args, sampler: str | None, steps: int | None):
@@ -116,6 +117,13 @@ def drive(port: int, clients: int, num_samples: int, seconds: float,
                 lat.append(dt)
                 rows_done[0] += num_samples
 
+    return _run_clients(port, clients, client, num_samples, lat, rows_done,
+                        h0, capacity)
+
+
+def _run_clients(port, clients, client, num_samples, lat, rows_done, h0,
+                 capacity):
+
     threads = [threading.Thread(target=client) for _ in range(clients)]
     t0 = time.time()
     for t in threads:
@@ -136,6 +144,51 @@ def drive(port: int, clients: int, num_samples: int, seconds: float,
         "p99_s": round(lat[min(n - 1, int(n * 0.99))], 3) if n else None,
         "batches": batches, "batch_occupancy": round(occupancy, 3),
     }
+
+
+def drive_overload(port: int, clients: int, num_samples: int, seconds: float,
+                   capacity: int) -> dict:
+    """Sustained-overload row (VERDICT r4 #5): far more closed-loop clients
+    than the device can serve.  Clients honour 429 + Retry-After (sleep,
+    retry).  Reports bounded accepted-latency percentiles AND the shed rate
+    — without backpressure this workload grows latency without bound."""
+    h0 = _get(port, "/healthz")
+    lat: list[float] = []
+    rows_done = [0]
+    shed = [0]
+    lock = threading.Lock()
+    stop = time.time() + seconds
+    prompt = {"text_interaction": "two people shake hands and hug",
+              "text_individual1": "a person extends a hand then hugs",
+              "text_individual2": "a person shakes hands then embraces",
+              "num_samples": num_samples, "format": "npy_base64"}
+
+    def client():
+        conn = _Client(port)
+        while time.time() < stop:
+            t0 = time.time()
+            status, resp = conn.post(prompt)
+            if status == 429:
+                with lock:
+                    shed[0] += 1
+                retry = float(resp.get("retry_after_s", 1))
+                time.sleep(max(0.0, min(retry, stop - time.time())))
+            else:
+                with lock:
+                    lat.append(time.time() - t0)
+                    rows_done[0] += num_samples
+
+    out = _run_clients(port, clients, client, num_samples, lat, rows_done,
+                       h0, capacity)
+    h1 = _get(port, "/healthz")
+    total = out["requests"] + shed[0]
+    out.update(
+        overload=True,
+        shed_429=shed[0],
+        shed_rate=round(shed[0] / max(1, total), 3),
+        server_shed_total=h1.get("shed"),
+    )
+    return out
 
 
 def main(argv=None):
@@ -173,6 +226,17 @@ def main(argv=None):
                       f"{r['samples_per_sec']:7.2f} samples/s  "
                       f"p50={r['p50_s']}s p99={r['p99_s']}s "
                       f"occupancy={r['batch_occupancy']}", flush=True)
+            # Sustained overload: 64 clients x full-batch requests against
+            # the default bounded queue (8x batch rows) — accepted p99 must
+            # stay bounded and the excess shed cleanly as 429s.
+            r = drive_overload(args.port, 64, cap, args.seconds, cap)
+            r["server"] = name
+            results["rows"].append(r)
+            print(f"{name} OVERLOAD clients=64 n={cap}: "
+                  f"{r['samples_per_sec']:7.2f} samples/s  "
+                  f"p50={r['p50_s']}s p99={r['p99_s']}s "
+                  f"shed_429={r['shed_429']} ({r['shed_rate']:.0%})",
+                  flush=True)
         finally:
             os.killpg(proc.pid, signal.SIGTERM)
             proc.wait(timeout=30)
