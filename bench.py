@@ -21,7 +21,14 @@ import time
 
 import numpy as np
 
-REFERENCE_SAMPLES_PER_SEC = 5.0  # documented estimate, see module docstring
+# Documented ESTIMATE (module docstring) of the reference on a modern GPU —
+# no reference hardware exists here, so vs_baseline is an estimate-ratio.
+# Measured context (refcpu_ab.json, BASELINE.md round 5): on the SAME host
+# CPU at full size with identical weights, the live torch reference chain
+# beats our XLA:CPU chain 0.80x (50.5 vs 62.8 s/step; both GEMM-bound,
+# MKL > XLA:CPU codegen) — i.e. the TPU wins come from hardware + Pallas/
+# bf16/int8 kernels, not from the framework design per se.
+REFERENCE_SAMPLES_PER_SEC = 5.0
 
 B = 10          # samples per prompt (infer CLI default)
 T = 299         # window (infer CLI default)
