@@ -218,20 +218,29 @@ def main(argv=None):
             # Per-step rng from (seed, step): resume continues the sequence.
             step_rng = jax.random.fold_in(rng, step)
             state, g_losses, d_losses = trainer.fit_step(state, dev_batch, step_rng, batch_idx)
+            # ONE device_get for every logged scalar: each separate float()
+            # is a device round-trip, and over the tunneled chip those RTTs
+            # dominate per-step host time at production size.
+            fetched = jax.device_get({
+                "g_total": g_losses["total"],
+                "g_i1": g_losses.get("generator_i1"),
+                "g_I": g_losses.get("generator_I"),
+                "influence_mean": g_losses.get("influence_mean"),
+                **({"d_total": d_losses["total"]} if d_losses else {}),
+            })
             logger.log(step, epoch, {
-                "g_total": float(g_losses["total"]),
-                **({"d_total": float(d_losses["total"])} if d_losses else {}),
+                "g_total": float(fetched["g_total"]),
+                **({"d_total": float(fetched["d_total"])} if d_losses else {}),
             })
             if jsonl is not None:
                 t_now = time.perf_counter()
                 jsonl.write(json.dumps({
                     "step": step, "epoch": epoch, "batch": batch_idx,
-                    "g_total": float(g_losses["total"]),
-                    "g_i1": float(g_losses.get("generator_i1", float("nan"))),
-                    "g_I": float(g_losses.get("generator_I", float("nan"))),
-                    "influence_mean": float(
-                        g_losses.get("influence_mean", float("nan"))),
-                    "d_total": (float(d_losses["total"]) if d_losses else None),
+                    "g_total": float(fetched["g_total"]),
+                    "g_i1": float(fetched["g_i1"]),
+                    "g_I": float(fetched["g_I"]),
+                    "influence_mean": float(fetched["influence_mean"]),
+                    "d_total": (float(fetched["d_total"]) if d_losses else None),
                     "dt_s": round(t_now - t_prev, 4),
                     "rss_mb": round(_rss_mb(), 1),
                 }) + "\n")

@@ -92,6 +92,33 @@ class TestLoader:
         names2 = [tuple(b["name"]) for b in dl]
         assert names1 != names2  # different epoch order (overwhelmingly likely)
 
+    def test_set_epoch_replays_bitwise(self, ih_root):
+        """Elastic resume (VERDICT r4 #1): with reseed_dataset=True the data
+        stream is a pure function of (seed, epoch) — a fresh loader that
+        set_epoch()s to E replays epoch E of another loader bitwise,
+        including the stateful augmentation draws (crop offsets, text
+        choice, person swap)."""
+        ds1 = InterHumanDataset(ih_root, mode="train", max_gt_length=32)
+        dl1 = DataLoader(ds1, batch_size=2, seed=3, reseed_dataset=True)
+        epochs1 = [list(dl1) for _ in range(3)]  # epochs 0, 1, 2
+
+        ds2 = InterHumanDataset(ih_root, mode="train", max_gt_length=32)
+        dl2 = DataLoader(ds2, batch_size=2, seed=3, reseed_dataset=True)
+        dl2.set_epoch(2)  # "resumed process" jumping straight to epoch 2
+        for b_orig, b_res in zip(epochs1[2], list(dl2)):
+            assert tuple(b_orig["name"]) == tuple(b_res["name"])
+            np.testing.assert_array_equal(b_orig["motions"], b_res["motions"])
+            assert b_orig["text"] == b_res["text"]
+
+    def test_without_reseed_epochs_still_reshuffle(self, ih_root):
+        """reseed_dataset must not collapse epoch-to-epoch augmentation:
+        consecutive epochs still differ (different epoch seed)."""
+        ds = InterHumanDataset(ih_root, mode="train", max_gt_length=32)
+        dl = DataLoader(ds, batch_size=2, seed=3, reseed_dataset=True)
+        e0 = [tuple(b["name"]) for b in dl]
+        e1 = [tuple(b["name"]) for b in dl]
+        assert e0 != e1
+
     def test_worker_exception_propagates(self, ih_root):
         """A transform that raises must surface in the consumer instead of
         hanging the iterator (ADVICE r2 low: the error used to die with the
