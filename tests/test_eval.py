@@ -131,6 +131,37 @@ class TestInterCLIP:
         assert abs(f["FID"]["model"][0] - want) < 1e-9
 
 
+class TestShardedScoring:
+    """VERDICT r4 #4: the wrapper's embedding passes shard over the data
+    mesh and must agree with the single-device path, including the ragged
+    (pad-and-drop) batch case."""
+
+    def test_mesh_wrapper_matches_single_device(self, tiny_interclip):
+        from mixermdm_tpu.parallel.mesh import make_mesh
+
+        model, params = tiny_interclip
+        mesh = make_mesh()  # all local (virtual CPU) devices
+        plain = EvaluatorWrapper(model, params)
+        sharded = EvaluatorWrapper(model, params, mesh=mesh)
+
+        B, T = 5, 10  # 5 rows over 8 devices: exercises padding + drop
+        motions = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(2), (B, T, 524)))
+        lens = np.asarray([10, 8, 6, 10, 9])
+        texts = ["one person waves", "two people hug", "a person kicks",
+                 "both bow", "one person runs"]
+
+        t0, m0 = plain.get_co_embeddings(texts, motions, lens)
+        t1, m1 = sharded.get_co_embeddings(texts, motions, lens)
+        assert m1.shape == (B, 512) and t1.shape == (B, 512)
+        np.testing.assert_allclose(m1, m0, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(t1, t0, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(
+            sharded.get_motion_embeddings(motions, lens),
+            plain.get_motion_embeddings(motions, lens),
+            rtol=2e-5, atol=2e-5)
+
+
 class TestPermutationInvariance:
     """The reference's length-sorting (evaluation/utils.py:164-166) is a
     consistent permutation of (text, motion) pairs — prove the metrics are
