@@ -70,6 +70,13 @@ def main(argv=None):
     loader = DataLoader(dataset, batch_size=args.batch, seed=0,
                         reseed_dataset=True)
 
+    def _rss_mb() -> float:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return round(int(line.split()[1]) / 1024.0, 1)
+        return -1.0
+
     phases = {k: [] for k in ("fetch", "tokenize", "put", "dispatch", "sync", "total")}
     step = 0
     it = iter(loader)
@@ -103,9 +110,11 @@ def main(argv=None):
         })
         t5 = time.perf_counter()
         rec = dict(fetch=t1 - t0, tokenize=t2 - t1, put=t3 - t2,
-                   dispatch=t4 - t3, sync=t5 - t4, total=t5 - t0)
+                   dispatch=t4 - t3, sync=t5 - t4, total=t5 - t0,
+                   rss_mb=_rss_mb())
         for k, v in rec.items():
-            phases[k].append(v)
+            if k in phases:
+                phases[k].append(v)
         print(f"step {step}: " + " ".join(f"{k}={v:.3f}" for k, v in rec.items()),
               flush=True)
         step += 1
